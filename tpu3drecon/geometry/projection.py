@@ -1,0 +1,85 @@
+"""Pinhole projection and reprojection residuals (pure jnp, batched).
+
+Array-level replacement for the reference's per-object ``Camera.project``
+(reference: src/dataset/camera.py:57-64) and the residual pipelines in
+src/reconstruction/bundle_adjustment/{pose_optimization.py:33-52,
+bundle_adjustment.py:17-29}.  Intrinsics follow the same K layout with frozen
+cx/cy/skew and optimizable fx/fy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make_intrinsics_matrix(fx_fy: jax.Array, cx_cy_skew: jax.Array) -> jax.Array:
+    """Assemble K from optimizable (fx, fy) and frozen (cx, cy, skew).
+
+    Mirrors reference utils.parse_intrinsics (utils.py:47-57): K =
+    [[fx, skew, cx], [0, fy, cy], [0, 0, 1]].
+    """
+    dtype = fx_fy.dtype
+    z = jnp.zeros((), dtype)
+    o = jnp.ones((), dtype)
+    return jnp.array(
+        [
+            [fx_fy[0], cx_cy_skew[2], cx_cy_skew[0]],
+            [z, fx_fy[1], cx_cy_skew[1]],
+            [z, z, o],
+        ]
+    )
+
+
+def world_to_camera(rmat: jax.Array, tvec: jax.Array, xyz: jax.Array) -> jax.Array:
+    """World point -> camera-frame point for a W2C extrinsic (R, t)."""
+    return rmat @ xyz + tvec
+
+
+def perspective_project(
+    xyz_cam: jax.Array, fx_fy: jax.Array, cx_cy_skew: jax.Array
+) -> jax.Array:
+    """Camera-frame point -> pixel coordinates (perspective divide)."""
+    z = xyz_cam[2]
+    inv_z = 1.0 / z
+    x, y = xyz_cam[0] * inv_z, xyz_cam[1] * inv_z
+    u = fx_fy[0] * x + cx_cy_skew[2] * y + cx_cy_skew[0]
+    v = fx_fy[1] * y + cx_cy_skew[1]
+    return jnp.stack([u, v])
+
+
+def project_point(
+    rmat: jax.Array,
+    tvec: jax.Array,
+    fx_fy: jax.Array,
+    cx_cy_skew: jax.Array,
+    xyz: jax.Array,
+) -> jax.Array:
+    """Full pinhole projection of one world point through one W2C camera."""
+    return perspective_project(world_to_camera(rmat, tvec, xyz), fx_fy, cx_cy_skew)
+
+
+# vmap over points (camera fixed).
+project_points = jax.vmap(project_point, in_axes=(None, None, None, None, 0))
+
+# vmap over cameras AND their own point sets: (B,3,3),(B,3),(B,2),(B,3),(B,N,3).
+project_points_batched = jax.vmap(project_points, in_axes=(0, 0, 0, 0, 0))
+
+
+def reprojection_residuals(
+    rmat: jax.Array,
+    tvec: jax.Array,
+    fx_fy: jax.Array,
+    cx_cy_skew: jax.Array,
+    points3d: jax.Array,
+    points2d: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Masked per-axis reprojection residuals (N, 2) for one camera.
+
+    Padded entries (mask == 0) contribute exact zeros to residual and (by the
+    chain rule) to any Jacobian/JtJ built from them — fixing the reference's
+    repeat-element-0 padding subtlety (benchmark_bundle_adjustment.py:81-84).
+    """
+    projected = project_points(rmat, tvec, fx_fy, cx_cy_skew, points3d)
+    return (projected - points2d) * mask[:, None]
