@@ -1,0 +1,226 @@
+"""Block operations for the camera/point Schur complement (matrix-free).
+
+The normal equations of bundle adjustment have the classic arrow structure
+
+    [ U   W ] [dc]   [ -g_c ]
+    [ W^T V ] [dp] = [ -g_p ]
+
+with U = blkdiag over cameras (8x8), V = blkdiag over points (3x3) and W the
+camera-point coupling, one 8x3 block per observation.  Everything here
+operates on the flat-observation layout (tpu3drecon.problems.packing): U, V,
+g are built by ``jax.ops.segment_sum`` over cam_idx / pt_idx, and the reduced
+camera system
+
+    S dc = b,   S = U - W V^{-1} W^T,   b = -g_c + W V^{-1} g_p
+
+is solved matrix-free by preconditioned CG whose matvec is two segment-sums
+and two gathers — no J, JtJ, or S is ever materialized.  This is the
+TPU-native replacement for the reference's dense-Jacobian LM wall
+(SURVEY.md §7; reference capped at 15 cams / 400 pts,
+benchmark_impl_bundle_adjustment.py:28-29), and the structure that shards
+over the device mesh (shard the observation axis, psum the segment sums —
+tpu3drecon.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_outer(a: jax.Array, b: jax.Array, idx: jax.Array, num: int) -> jax.Array:
+    """sum_k a[k]^T b[k] accumulated per segment: (N,2,m),(N,2,n) -> (num,m,n)."""
+    per_obs = jnp.einsum("kri,krj->kij", a, b)
+    return jax.ops.segment_sum(per_obs, idx, num_segments=num)
+
+
+def segment_jt_r(j: jax.Array, r: jax.Array, idx: jax.Array, num: int) -> jax.Array:
+    """sum_k J[k]^T r[k] per segment: (N,2,m),(N,2) -> (num,m)."""
+    per_obs = jnp.einsum("kri,kr->ki", j, r)
+    return jax.ops.segment_sum(per_obs, idx, num_segments=num)
+
+
+class NormalBlocks(NamedTuple):
+    """Damped normal-equation blocks for one linearization."""
+
+    u: jax.Array  # (C, 8, 8) damped camera blocks
+    v: jax.Array  # (P, 3, 3) damped point blocks
+    w: jax.Array  # (N, 8, 3) per-observation coupling blocks
+    g_cam: jax.Array  # (C, 8) gradient J_c^T r
+    g_pt: jax.Array  # (P, 3) gradient J_p^T r
+    v_inv: jax.Array  # (P, 3, 3) inverse of damped V
+    u_chol: jax.Array  # (C, 8, 8) cholesky of damped U (preconditioner)
+    damp_cam: jax.Array  # (C, 8) diagonal damping actually added to U
+    damp_pt: jax.Array  # (P, 3) diagonal damping actually added to V
+
+
+def inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form inverse of a batch of 3x3 SPD matrices (adjugate form).
+
+    Cheaper than LU/cholesky dispatch per tiny block on TPU; damping
+    guarantees well-conditioned inputs.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = c * h - b * i
+    co_c = b * f - c * e
+    det = a * co_a + d * co_b + g * co_c
+    det_safe = jnp.where(jnp.abs(det) < 1e-32, 1.0, det)
+    inv_det = 1.0 / det_safe
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, co_b, co_c], axis=-1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def build_normal_blocks(
+    blocks_r: jax.Array,  # (N,2)
+    blocks_jc: jax.Array,  # (N,2,8)
+    blocks_jp: jax.Array,  # (N,2,3)
+    cam_idx: jax.Array,
+    pt_idx: jax.Array,
+    n_cameras: int,
+    n_points: int,
+    lam: jax.Array,
+    diag_floor: float = 1e-8,
+) -> NormalBlocks:
+    """Accumulate damped U, V, W, gradients from per-observation blocks.
+
+    Marquardt damping: add lam * clamp(diag) to each block diagonal, so the
+    step is scale-invariant across the wildly different parameter magnitudes
+    (rotations ~1, focals ~1e3, points ~scene units).
+    """
+    dtype = blocks_r.dtype
+    u = segment_outer(blocks_jc, blocks_jc, cam_idx, n_cameras)
+    v = segment_outer(blocks_jp, blocks_jp, pt_idx, n_points)
+    w = jnp.einsum("kri,krj->kij", blocks_jc, blocks_jp)  # (N,8,3)
+    g_cam = segment_jt_r(blocks_jc, blocks_r, cam_idx, n_cameras)
+    g_pt = segment_jt_r(blocks_jp, blocks_r, pt_idx, n_points)
+
+    eye8 = jnp.eye(8, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    du = jnp.clip(jnp.diagonal(u, axis1=-2, axis2=-1), diag_floor, None)
+    dv = jnp.clip(jnp.diagonal(v, axis1=-2, axis2=-1), diag_floor, None)
+    damp_cam = lam * du
+    damp_pt = lam * dv
+    u_d = u + damp_cam[..., None] * eye8
+    v_d = v + damp_pt[..., None] * eye3
+
+    v_inv = inv3x3(v_d)
+    u_chol = jax.vmap(jnp.linalg.cholesky)(u_d)
+    return NormalBlocks(
+        u=u_d,
+        v=v_d,
+        w=w,
+        g_cam=g_cam,
+        g_pt=g_pt,
+        v_inv=v_inv,
+        u_chol=u_chol,
+        damp_cam=damp_cam,
+        damp_pt=damp_pt,
+    )
+
+
+def w_times(nb: NormalBlocks, y_pt: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_cameras: int) -> jax.Array:
+    """(W y)_c: gather y by pt_idx, per-obs 8x3 @ 3, segment-sum by cam."""
+    per_obs = jnp.einsum("kij,kj->ki", nb.w, y_pt[pt_idx])
+    return jax.ops.segment_sum(per_obs, cam_idx, num_segments=n_cameras)
+
+
+def wt_times(nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_points: int) -> jax.Array:
+    """(W^T x)_p: gather x by cam_idx, per-obs 3x8 @ 8, segment-sum by point."""
+    per_obs = jnp.einsum("kij,ki->kj", nb.w, x_cam[cam_idx])
+    return jax.ops.segment_sum(per_obs, pt_idx, num_segments=n_points)
+
+
+def schur_matvec(
+    nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array
+) -> jax.Array:
+    """S x = U x - W V^{-1} W^T x, matrix-free."""
+    n_cameras = nb.u.shape[0]
+    n_points = nb.v.shape[0]
+    ux = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+    wtx = wt_times(nb, x_cam, cam_idx, pt_idx, n_points)
+    vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+    return ux - w_times(nb, vinv_wtx, cam_idx, pt_idx, n_cameras)
+
+
+def precond_apply(nb: NormalBlocks, r_cam: jax.Array) -> jax.Array:
+    """Block-Jacobi preconditioner: per-camera solve with chol(U_damped)."""
+    return jax.vmap(
+        lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr)
+    )(nb.u_chol, r_cam)
+
+
+class PCGResult(NamedTuple):
+    x: jax.Array  # (C, 8)
+    iters: jax.Array
+    rel_residual: jax.Array
+
+
+def schur_pcg(
+    nb: NormalBlocks,
+    b_cam: jax.Array,  # (C, 8)
+    cam_idx: jax.Array,
+    pt_idx: jax.Array,
+    maxiter: int = 100,
+    rtol: float = 1e-6,
+) -> PCGResult:
+    """Preconditioned CG on the reduced camera system S x = b.
+
+    Entirely lax-level, so the whole LM outer loop stays one XLA executable.
+    """
+    dtype = b_cam.dtype
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(b_cam)
+    r0 = b_cam  # since x0 = 0
+    z0 = precond_apply(nb, r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    b_norm2 = jnp.maximum(dot(b_cam, b_cam), jnp.asarray(1e-32, dtype))
+    tol2 = jnp.asarray(rtol, dtype) ** 2 * b_norm2
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        sp = schur_matvec(nb, p, cam_idx, pt_idx)
+        psp = dot(p, sp)
+        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
+        x = x + alpha * p
+        r = r - alpha * sp
+        z = precond_apply(nb, r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, _, _, _, iters = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, jnp.zeros((), jnp.int32)))
+    rel = jnp.sqrt(dot(r, r) / b_norm2)
+    return PCGResult(x=x, iters=iters, rel_residual=rel)
+
+
+def back_substitute_points(
+    nb: NormalBlocks,
+    dc: jax.Array,  # (C, 8) camera step
+    cam_idx: jax.Array,
+    pt_idx: jax.Array,
+) -> jax.Array:
+    """dp = V^{-1} (-g_p - W^T dc)."""
+    n_points = nb.v.shape[0]
+    wt_dc = wt_times(nb, dc, cam_idx, pt_idx, n_points)
+    return jnp.einsum("pij,pj->pi", nb.v_inv, -nb.g_pt - wt_dc)
