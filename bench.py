@@ -1,0 +1,68 @@
+"""Headline benchmark: medium bundle adjustment, 100 cams / 100k pts / 200k obs.
+
+BASELINE.json config #3 ("Medium BA with intrinsics refinement: ~100 cams /
+100k points"; north-star: >= 20x CPU-reference time-to-convergence).  Runs a
+fixed 30-outer-iteration implicit-Schur LM solve (identical deterministic
+work on every backend) and reports wall time against the recorded CPU
+reference of THIS solver on this host.
+
+vs_baseline semantics: CPU_BASELINE_S / tpu_time — i.e. the speedup over the
+strongest available CPU reference.  Note the original reference
+(jaxopt dense-J LM) cannot run this problem size at all (dense J would be
+~200k x 300k; its driver caps at 15 cams / 400 pts,
+benchmark_impl_bundle_adjustment.py:28-29), so our own solver on CPU is a
+*stricter* baseline than the reference's.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+# Measured 2026-08-16 on this container's host CPU (single jax CPU device,
+# all cores): 30 LM iters of the identical solve, f32, after warm-up.
+# Reproduce with: python bench.py --cpu
+CPU_BASELINE_S = 9.695
+
+
+def main(force_cpu: bool = False) -> None:
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu3drecon.benchmark.medium_config import (
+        BENCH_CONFIG,
+        build_problem,
+        timed_solve,
+    )
+    from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
+
+    problem = build_problem()
+    solver = make_ba_solver(BENCH_CONFIG)
+    compile_s, run_s, (cams, pts, state) = timed_solve(solver, problem, repeats=2)
+    rmse = float(jax.device_get(reprojection_rmse(problem, cams, pts)))
+
+    result = {
+        "metric": "ba_medium_100cam_100kpt_30lm_iters",
+        "value": round(run_s, 4),
+        "unit": "s",
+        "vs_baseline": round(CPU_BASELINE_S / run_s, 2),
+        "extra": {
+            "compile_s": round(compile_s, 2),
+            "reproj_rmse_px": float(f"{rmse:.3e}"),
+            "accepted_steps": int(jax.device_get(state.accepted)),
+            "n_obs": problem.n_obs,
+            "backend": jax.default_backend(),
+            "cpu_baseline_s": CPU_BASELINE_S,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(force_cpu="--cpu" in sys.argv)

@@ -1,0 +1,76 @@
+"""Multi-device sharded BA tests on the virtual 8-device CPU mesh.
+
+The distributed coverage the reference entirely lacks (SURVEY.md §4
+"multi-node testing: none"): the sharded solve must produce the same result
+as the single-device solve, for several mesh sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_ba_problem
+from tpu3drecon.parallel.mesh import make_mesh, shard_ba_problem
+from tpu3drecon.parallel.sharded_ba import ba_solve_sharded, make_sharded_ba_solver
+from tpu3drecon.solvers.bundle_adjust import BAConfig, ba_solve, reprojection_rmse
+
+
+@pytest.fixture(scope="module")
+def problem():
+    scene = make_scene(n_cameras=10, n_points=400, seed=31)
+    noisy = perturb_scene(scene, seed=32, point2d_noise=0.0)
+    problem, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+    return problem
+
+
+CONFIG = BAConfig(maxiter=25, gtol=1e-12, cg_maxiter=100, cg_rtol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def single_result(problem):
+    return ba_solve(problem, CONFIG)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide the virtual CPU mesh"
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_matches_single_device(problem, single_result, n_devices):
+    mesh = make_mesh(n_devices)
+    cams_s, pts_s, state_s = ba_solve_sharded(problem, CONFIG, mesh=mesh)
+    cams_1, pts_1, state_1 = single_result
+    # Same accepted-step trajectory and near-identical optimum (fp reduction
+    # order differs across shard counts, so exact bitwise equality is not
+    # expected in general).
+    np.testing.assert_allclose(np.array(pts_s), np.array(pts_1), atol=1e-6)
+    np.testing.assert_allclose(np.array(cams_s.tvecs), np.array(cams_1.tvecs), atol=1e-6)
+    rmse_s = float(reprojection_rmse(problem, cams_s, pts_s))
+    assert rmse_s < 1e-5
+
+
+def test_sharded_convergence_metrics(problem):
+    mesh = make_mesh(8)
+    cams, pts, state = ba_solve_sharded(problem, CONFIG, mesh=mesh)
+    assert bool(np.array(state.converged)) or int(np.array(state.iter_num)) == CONFIG.maxiter
+    assert int(np.array(state.accepted)) > 0
+    assert float(reprojection_rmse(problem, cams, pts)) < 1e-5
+
+
+def test_problem_placement(problem):
+    mesh = make_mesh(4)
+    placed = shard_ba_problem(problem, mesh)
+    # Obs arrays sharded over 4 devices, camera arrays replicated.
+    assert len(placed.uv.sharding.device_set) == 4
+    assert placed.uv.sharding.is_fully_replicated is False
+    assert placed.cameras.rmats.sharding.is_fully_replicated is True
+
+
+def test_solver_reuse_same_executable(problem):
+    mesh = make_mesh(2)
+    solver = make_sharded_ba_solver(mesh, CONFIG)
+    placed = shard_ba_problem(problem, mesh)
+    c1, p1, s1 = solver(placed)
+    c2, p2, s2 = solver(placed)  # cache hit; identical results
+    np.testing.assert_array_equal(np.array(p1), np.array(p2))

@@ -1,0 +1,80 @@
+"""The shared medium-BA benchmark configuration (bench.py + baselines).
+
+BASELINE.json config #3: "Medium BA with intrinsics refinement: ~100 cams /
+100k points".  Fixed seeds and fixed iteration counts so the benchmark work
+is deterministic across runs and backends.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from tpu3drecon.solvers.bundle_adjust import BAConfig
+
+N_CAMERAS = 100
+N_POINTS = 100_000
+OBS_PER_CAMERA = 2_000
+SEED = 42
+
+# Fixed-work config: run exactly LM_ITERS outer iterations (no early stop) so
+# wall-clock comparisons measure identical work.
+LM_ITERS = 30
+BENCH_CONFIG = BAConfig(
+    maxiter=LM_ITERS,
+    gtol=0.0,
+    ftol=0.0,
+    cg_maxiter=30,
+    cg_rtol=1e-4,
+)
+
+
+def build_problem(dtype=None):
+    import jax.numpy as jnp
+
+    from tpu3drecon.dataset.synthetic import (
+        make_scene,
+        perturb_scene,
+        scene_to_ba_problem,
+    )
+
+    scene = make_scene(
+        n_cameras=N_CAMERAS,
+        n_points=N_POINTS,
+        obs_per_camera=OBS_PER_CAMERA,
+        seed=SEED,
+    )
+    noisy = perturb_scene(scene, seed=SEED + 1, point2d_noise=0.5)
+    problem, _ = scene_to_ba_problem(
+        noisy, observed=scene, dtype=dtype or jnp.float32
+    )
+    return problem
+
+
+def timed_solve(solver, problem, repeats: int = 1):
+    """Compile (warm-up) then time; returns (compile_s, best_run_s, result).
+
+    The compile/run split follows the reference's measurement protocol
+    (benchmark_pose_optimization.py:165-182, benchmark_bundle_adjustment.py:
+    171-181): warm-up solve counted separately, block_until_ready around the
+    timed region.
+    """
+    def sync(out):
+        # block_until_ready is not reliably synchronous through this
+        # container's remote-TPU tunnel; fetching a scalar to host is.
+        jax.block_until_ready(out)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    t0 = time.perf_counter()
+    out = solver(problem)
+    sync(out)
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = solver(problem)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return compile_s, best, out

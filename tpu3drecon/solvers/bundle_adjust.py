@@ -21,7 +21,7 @@ BAL-scale problems.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,8 @@ class BAState(NamedTuple):
 def _blocks_for(
     rmats, tvecs, fx_fy, cx_cy_skew, points3d, problem: BAProblem, config: BAConfig
 ):
+    # NOTE: blocks are per-observation (obs-local under sharding) — no
+    # collective needed here; reductions happen in schur.build_normal_blocks.
     inv_w = 1.0 / problem.avg_cam_width
     blocks = gather_obs_blocks(
         rmats,
@@ -89,18 +91,35 @@ def _blocks_for(
     return r, jc, jp
 
 
-def _loss_of(r: jax.Array) -> jax.Array:
-    return 0.5 * jnp.sum(r * r)
+def _loss_of(r: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
+    loss = 0.5 * jnp.sum(r * r)
+    return jax.lax.psum(loss, axis_name) if axis_name is not None else loss
 
 
 def ba_solve(
-    problem: BAProblem, config: BAConfig = BAConfig()
+    problem: BAProblem, config: BAConfig = BAConfig(),
+    axis_name: Optional[str] = None,
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Run BA on a packed problem; returns (cameras, points3d, state).
 
     Jit-safe: ``jax.jit(ba_solve, static_argnums=1)`` — or use the cached
-    wrapper ``make_ba_solver``.
+    wrapper ``make_ba_solver``.  With ``axis_name`` set, runs inside
+    shard_map with the observation axis sharded (tpu3drecon.parallel):
+    cameras/points replicated, segment-sums psum-reduced, all trust-region
+    decisions computed on replicated scalars so every device steps in
+    lockstep.
     """
+    # TPU matmuls default to bf16 inputs on the MXU; the tiny 2x8/3x3 block
+    # algebra here is bandwidth-bound anyway, so force full f32 precision —
+    # without this the f32 solve stalls ~4 orders of magnitude short (see
+    # tests/test_bundle_adjust.py::test_float32's RMSE bar).
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_impl(problem, config, axis_name)
+
+
+def _ba_solve_impl(
+    problem: BAProblem, config: BAConfig, axis_name: Optional[str]
+) -> Tuple[CameraParams, jax.Array, BAState]:
     cams = problem.cameras
     n_cameras = problem.n_cameras
     n_points = problem.n_points
@@ -115,7 +134,7 @@ def ba_solve(
         tvecs=cams.tvecs,
         fx_fy=cams.fx_fy,
         points3d=problem.points3d,
-        loss=_loss_of(r0),
+        loss=_loss_of(r0, axis_name),
         lam=jnp.asarray(config.init_lambda, dtype),
         nu=jnp.asarray(2.0, dtype),
         iter_num=jnp.zeros((), jnp.int32),
@@ -148,6 +167,7 @@ def ba_solve(
             n_cameras,
             n_points,
             state.lam,
+            axis_name=axis_name,
         )
         grad_norm = jnp.maximum(
             jnp.max(jnp.abs(nb.g_cam)),
@@ -156,7 +176,9 @@ def ba_solve(
 
         # Reduced camera system RHS: b = -g_c + W V^{-1} g_p.
         vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
-        b = -nb.g_cam + schur.w_times(nb, vinv_gp, problem.cam_idx, problem.pt_idx, n_cameras)
+        b = -nb.g_cam + schur.w_times(
+            nb, vinv_gp, problem.cam_idx, problem.pt_idx, n_cameras, axis_name
+        )
 
         pcg = schur.schur_pcg(
             nb,
@@ -165,9 +187,12 @@ def ba_solve(
             problem.pt_idx,
             maxiter=config.cg_maxiter,
             rtol=config.cg_rtol,
+            axis_name=axis_name,
         )
         dc = pcg.x
-        dp = schur.back_substitute_points(nb, dc, problem.cam_idx, problem.pt_idx)
+        dp = schur.back_substitute_points(
+            nb, dc, problem.cam_idx, problem.pt_idx, axis_name
+        )
         if not config.optimize_points:
             dp = dp * 0.0
 
@@ -180,7 +205,7 @@ def ba_solve(
         r_cand, _, _ = _blocks_for(
             new_r, new_t, new_f, cams.cx_cy_skew, new_pts, problem, config
         )
-        loss_cand = _loss_of(r_cand)
+        loss_cand = _loss_of(r_cand, axis_name)
 
         # Predicted reduction of the damped model:
         # 0.5 * (d^T (lam*D) d - d^T g) over both blocks.

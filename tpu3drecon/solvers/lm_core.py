@@ -82,6 +82,11 @@ def lm_solve(
     (callers ravel structured residuals).  Jit/vmap-safe.
     """
     retract = retract or _default_retract
+    with jax.default_matmul_precision("highest"):
+        return _lm_solve_impl(residual_fn, params0, args, config, retract)
+
+
+def _lm_solve_impl(residual_fn, params0, args, config, retract):
     dtype = params0.dtype
     n_params = params0.shape[-1]
 

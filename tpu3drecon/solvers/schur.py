@@ -24,10 +24,16 @@ tpu3drecon.parallel).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _maybe_psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """psum across the observation-shard mesh axis when running inside
+    shard_map (tpu3drecon.parallel); identity in single-device mode."""
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
 def segment_outer(a: jax.Array, b: jax.Array, idx: jax.Array, num: int) -> jax.Array:
@@ -92,6 +98,7 @@ def build_normal_blocks(
     n_points: int,
     lam: jax.Array,
     diag_floor: float = 1e-8,
+    axis_name: Optional[str] = None,
 ) -> NormalBlocks:
     """Accumulate damped U, V, W, gradients from per-observation blocks.
 
@@ -100,11 +107,11 @@ def build_normal_blocks(
     (rotations ~1, focals ~1e3, points ~scene units).
     """
     dtype = blocks_r.dtype
-    u = segment_outer(blocks_jc, blocks_jc, cam_idx, n_cameras)
-    v = segment_outer(blocks_jp, blocks_jp, pt_idx, n_points)
-    w = jnp.einsum("kri,krj->kij", blocks_jc, blocks_jp)  # (N,8,3)
-    g_cam = segment_jt_r(blocks_jc, blocks_r, cam_idx, n_cameras)
-    g_pt = segment_jt_r(blocks_jp, blocks_r, pt_idx, n_points)
+    u = _maybe_psum(segment_outer(blocks_jc, blocks_jc, cam_idx, n_cameras), axis_name)
+    v = _maybe_psum(segment_outer(blocks_jp, blocks_jp, pt_idx, n_points), axis_name)
+    w = jnp.einsum("kri,krj->kij", blocks_jc, blocks_jp)  # (N,8,3) stays obs-local
+    g_cam = _maybe_psum(segment_jt_r(blocks_jc, blocks_r, cam_idx, n_cameras), axis_name)
+    g_pt = _maybe_psum(segment_jt_r(blocks_jp, blocks_r, pt_idx, n_points), axis_name)
 
     eye8 = jnp.eye(8, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
@@ -130,28 +137,33 @@ def build_normal_blocks(
     )
 
 
-def w_times(nb: NormalBlocks, y_pt: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_cameras: int) -> jax.Array:
+def w_times(nb: NormalBlocks, y_pt: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_cameras: int, axis_name: Optional[str] = None) -> jax.Array:
     """(W y)_c: gather y by pt_idx, per-obs 8x3 @ 3, segment-sum by cam."""
     per_obs = jnp.einsum("kij,kj->ki", nb.w, y_pt[pt_idx])
-    return jax.ops.segment_sum(per_obs, cam_idx, num_segments=n_cameras)
+    return _maybe_psum(jax.ops.segment_sum(per_obs, cam_idx, num_segments=n_cameras), axis_name)
 
 
-def wt_times(nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_points: int) -> jax.Array:
+def wt_times(nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_points: int, axis_name: Optional[str] = None) -> jax.Array:
     """(W^T x)_p: gather x by cam_idx, per-obs 3x8 @ 8, segment-sum by point."""
     per_obs = jnp.einsum("kij,ki->kj", nb.w, x_cam[cam_idx])
-    return jax.ops.segment_sum(per_obs, pt_idx, num_segments=n_points)
+    return _maybe_psum(jax.ops.segment_sum(per_obs, pt_idx, num_segments=n_points), axis_name)
 
 
 def schur_matvec(
-    nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array
+    nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """S x = U x - W V^{-1} W^T x, matrix-free."""
+    """S x = U x - W V^{-1} W^T x, matrix-free.
+
+    Sharded mode: U x is replicated math; the two W applications reduce
+    obs-local contributions with one psum each per CG iteration.
+    """
     n_cameras = nb.u.shape[0]
     n_points = nb.v.shape[0]
     ux = jnp.einsum("cij,cj->ci", nb.u, x_cam)
-    wtx = wt_times(nb, x_cam, cam_idx, pt_idx, n_points)
+    wtx = wt_times(nb, x_cam, cam_idx, pt_idx, n_points, axis_name)
     vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
-    return ux - w_times(nb, vinv_wtx, cam_idx, pt_idx, n_cameras)
+    return ux - w_times(nb, vinv_wtx, cam_idx, pt_idx, n_cameras, axis_name)
 
 
 def precond_apply(nb: NormalBlocks, r_cam: jax.Array) -> jax.Array:
@@ -174,6 +186,7 @@ def schur_pcg(
     pt_idx: jax.Array,
     maxiter: int = 100,
     rtol: float = 1e-6,
+    axis_name: Optional[str] = None,
 ) -> PCGResult:
     """Preconditioned CG on the reduced camera system S x = b.
 
@@ -198,7 +211,7 @@ def schur_pcg(
 
     def body(state):
         x, r, z, p, rz, k = state
-        sp = schur_matvec(nb, p, cam_idx, pt_idx)
+        sp = schur_matvec(nb, p, cam_idx, pt_idx, axis_name)
         psp = dot(p, sp)
         alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
         x = x + alpha * p
@@ -219,8 +232,9 @@ def back_substitute_points(
     dc: jax.Array,  # (C, 8) camera step
     cam_idx: jax.Array,
     pt_idx: jax.Array,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """dp = V^{-1} (-g_p - W^T dc)."""
     n_points = nb.v.shape[0]
-    wt_dc = wt_times(nb, dc, cam_idx, pt_idx, n_points)
+    wt_dc = wt_times(nb, dc, cam_idx, pt_idx, n_points, axis_name)
     return jnp.einsum("pij,pj->pi", nb.v_inv, -nb.g_pt - wt_dc)
