@@ -1,0 +1,157 @@
+"""End-to-end benchmark-harness tests: adapters, persistence, drivers, plots.
+
+The cross-framework parity run IS the integration test (the reference's own
+strategy, SURVEY.md §4): TPU solver vs scipy baseline on the same noised
+synthetic dataset must agree on final reprojection quality.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3drecon.benchmark.adapters.scipy_adapter import (
+    ScipyBundleAdjustmentBenchmark,
+    ScipySinglePoseBenchmark,
+)
+from tpu3drecon.benchmark.adapters.tpu_adapters import (
+    TpuBundleAdjustmentBenchmark,
+    TpuSinglePoseBenchmark,
+)
+from tpu3drecon.benchmark.datasets import available, get_dataset
+from tpu3drecon.benchmark.drivers import mean_reprojection_errors
+from tpu3drecon.benchmark.harness import load_benchmarks, save_benchmarks
+
+
+@pytest.fixture(scope="module")
+def noised_dataset():
+    return get_dataset("synthetic_small_noised")
+
+
+@pytest.fixture(scope="module")
+def tpu_ba(noised_dataset):
+    import jax.numpy as jnp
+
+    b = TpuBundleAdjustmentBenchmark(noised_dataset, dtype=jnp.float64)
+    b.benchmark()
+    return b
+
+
+@pytest.fixture(scope="module")
+def scipy_ba(noised_dataset):
+    b = ScipyBundleAdjustmentBenchmark(noised_dataset)
+    b.benchmark(maxiter=60)
+    return b
+
+
+class TestRegistry:
+    def test_synthetic_always_available(self):
+        names = available()
+        assert "synthetic_small" in names
+        assert "synthetic_small_noised" in names
+
+    def test_disk_gated_not_listed(self):
+        # IMW2020 scenes aren't on disk in this environment.
+        assert "reichstag" not in available()
+        assert "reichstag" in available(include_disk_gated=True)
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_dataset("nope")
+
+
+class TestTpuBundleAdjustment:
+    def test_improves_reprojection(self, noised_dataset, tpu_ba):
+        before = noised_dataset.compute_reprojection_errors_alt(lambda x: x)
+        after = tpu_ba.reprojection_errors()
+        mean_before = np.mean(np.concatenate(list(before.values())))
+        mean_after = np.mean(np.concatenate(list(after.values())))
+        assert mean_after < 0.01 * mean_before
+
+    def test_timing_split_recorded(self, tpu_ba):
+        assert tpu_ba.time is not None and tpu_ba.time > 0
+        assert tpu_ba.compile_time is not None
+        assert tpu_ba.iterations and tpu_ba.iterations[0] > 0
+
+    def test_parity_with_scipy(self, tpu_ba, scipy_ba):
+        tpu_means = np.array(list(mean_reprojection_errors(tpu_ba).values()))
+        scipy_means = np.array(list(mean_reprojection_errors(scipy_ba).values()))
+        # Both should land at sub-pixel^2 mean error; neither wildly worse.
+        assert np.nanmean(tpu_means) < 1.0
+        assert np.nanmean(scipy_means) < 1.0
+
+
+class TestTpuSinglePose:
+    def test_single_pose_benchmark(self):
+        # Pose-only noise: points stay at GT so PnP has an exact optimum.
+        from tpu3drecon.dataset.scene import Dataset
+
+        ds = get_dataset("synthetic_small")
+        # NOTE: camera_intrinsics_noise also perturbs cx/cy/skew, which the
+        # PnP model freezes (like the reference) — that would leave an
+        # irreducible residual floor, so perturb only pose here.
+        noisy = Dataset.with_noise(
+            ds, point3d_noise=0.0, point2d_noise=0.0,
+            camera_rotation_noise=2e-2, camera_translation_noise=5e-2,
+            camera_intrinsics_noise=0.0, rng=np.random.default_rng(7),
+        )
+        b = TpuSinglePoseBenchmark(noisy)
+        b.benchmark(maxiter=100)
+        means = mean_reprojection_errors(b)
+        assert np.nanmean(list(means.values())) < 1e-3
+        assert len(b.results.camera_mapping) == len(noisy.datasetEntries)
+        assert len(b.iterations) == len(noisy.datasetEntries)
+
+    def test_scipy_single_pose_parity(self):
+        from tpu3drecon.dataset.scene import Dataset
+
+        ds = get_dataset("synthetic_small")
+        noisy = Dataset.with_noise(
+            ds, point3d_noise=0.0, point2d_noise=0.0,
+            camera_rotation_noise=2e-2, camera_translation_noise=5e-2,
+            camera_intrinsics_noise=0.0, rng=np.random.default_rng(7),
+        )
+        b = ScipySinglePoseBenchmark(noisy)
+        b.benchmark()
+        means = mean_reprojection_errors(b)
+        assert np.nanmean(list(means.values())) < 1e-3
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, tpu_ba, tmp_path):
+        out = save_benchmarks([tpu_ba], str(tmp_path))
+        assert os.path.isdir(os.path.join(tmp_path, "latest"))
+        loaded = load_benchmarks(out)
+        assert len(loaded) == 1
+        lb = loaded[0]
+        assert lb.time == tpu_ba.time
+        errs = lb.reprojection_errors()  # re-materialization works post-pickle
+        assert len(errs) == len(tpu_ba.dataset.datasetEntries)
+
+    def test_export_results_colmap(self, tpu_ba, tmp_path):
+        out = tmp_path / "colmap_export"
+        tpu_ba.export_results_in_colmap_format(str(out), binary=True)
+        from tpu3drecon.io import colmap as cio
+
+        model = cio.read_model(str(out))
+        assert len(model.images) == len(tpu_ba.dataset.datasetEntries)
+
+
+class TestSubprocessIsolation:
+    def test_subprocess_benchmark(self, noised_dataset):
+        import jax.numpy as jnp
+
+        b = TpuBundleAdjustmentBenchmark(noised_dataset, dtype=jnp.float64)
+        b.subprocess_benchmark(timeout_s=600)
+        assert b.time is not None
+        assert len(b.results.camera_mapping) == len(noised_dataset.datasetEntries)
+
+
+class TestReporting:
+    def test_plots_render(self, tpu_ba, scipy_ba, tmp_path, monkeypatch):
+        import tpu3drecon.benchmark.reporting as rep
+
+        monkeypatch.setattr(rep, "EVALUATION_PATH", str(tmp_path))
+        paths = rep.bundle_adjustment_statistics([tpu_ba, scipy_ba], "synthetic_small_noised")
+        assert all(os.path.exists(p) for p in paths)
+        assert len(paths) == 3

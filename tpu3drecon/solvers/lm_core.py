@@ -127,10 +127,16 @@ def _lm_solve_impl(residual_fn, params0, args, config, retract):
             damp = jnp.ones(n_params, dtype)
         a = jtj + state.lam * jnp.diag(damp)
 
+        # Jacobi equilibration before the factorization: parameters mix
+        # scales wildly (focal^2 ~1e6 vs rotation ~1), and the raw normal
+        # equations lose too many digits in f32.  Solve
+        # (D^-1/2 A D^-1/2) y = -D^-1/2 g, step = D^-1/2 y.
+        d_inv_sqrt = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(a), 1e-20, None))
+        a_eq = a * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
         # PD by construction (JtJ PSD + positive diagonal damping); a failed
         # factorization surfaces as NaN step -> rejected below.
-        chol = jax.scipy.linalg.cho_factor(a + 0.0 * eye)
-        step = jax.scipy.linalg.cho_solve(chol, -grad)
+        chol = jax.scipy.linalg.cho_factor(a_eq)
+        step = d_inv_sqrt * jax.scipy.linalg.cho_solve(chol, -(d_inv_sqrt * grad))
 
         cand = retract(state.params, step)
         r_cand = residual_fn(cand, *args)
