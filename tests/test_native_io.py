@@ -1,0 +1,93 @@
+"""Native C++ COLMAP parser vs the numpy oracle, plus a speed sanity check."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tpu3drecon.dataset.synthetic import make_scene, scene_to_colmap_model
+from tpu3drecon.io import colmap as cio
+from tpu3drecon.io.colmap import native
+from tpu3drecon.io.colmap.binary import read_images_bin, read_points3d_bin
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load_library()
+    if lib is None:
+        pytest.skip("native parser unavailable (no g++/make)")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(tmp_path_factory):
+    model = scene_to_colmap_model(
+        make_scene(n_cameras=12, n_points=2000, obs_per_camera=500, seed=71)
+    )
+    d = tmp_path_factory.mktemp("native_sparse")
+    cio.write_model(model, str(d), binary=True)
+    return str(d)
+
+
+class TestNativeMatchesPython:
+    def test_points3d(self, lib, sparse_dir):
+        py = read_points3d_bin(f"{sparse_dir}/points3D.bin", use_native=False)
+        nt = native.read_points3d_bin_native(f"{sparse_dir}/points3D.bin")
+        np.testing.assert_array_equal(py.ids, nt.ids)
+        np.testing.assert_array_equal(py.xyz, nt.xyz)
+        np.testing.assert_array_equal(py.rgb, nt.rgb)
+        np.testing.assert_array_equal(py.error, nt.error)
+        np.testing.assert_array_equal(py.track_offsets, nt.track_offsets)
+        np.testing.assert_array_equal(py.track_image_ids, nt.track_image_ids)
+        np.testing.assert_array_equal(py.track_p2d_idxs, nt.track_p2d_idxs)
+
+    def test_images(self, lib, sparse_dir):
+        py = read_images_bin(f"{sparse_dir}/images.bin", use_native=False)
+        nt = native.read_images_bin_native(f"{sparse_dir}/images.bin")
+        np.testing.assert_array_equal(py.image_ids, nt.image_ids)
+        np.testing.assert_array_equal(py.qvecs, nt.qvecs)
+        np.testing.assert_array_equal(py.tvecs, nt.tvecs)
+        np.testing.assert_array_equal(py.camera_ids, nt.camera_ids)
+        assert py.names == nt.names
+        np.testing.assert_array_equal(py.p2d_offsets, nt.p2d_offsets)
+        np.testing.assert_array_equal(py.p2d_xy, nt.p2d_xy)
+        np.testing.assert_array_equal(py.p2d_point3d_ids, nt.p2d_point3d_ids)
+
+    def test_sentinel_ids(self, lib, tmp_path):
+        import dataclasses
+
+        model = scene_to_colmap_model(make_scene(n_cameras=3, n_points=40, seed=72))
+        ids = model.images.p2d_point3d_ids.copy()
+        ids[::2] = -1
+        model = dataclasses.replace(
+            model, images=dataclasses.replace(model.images, p2d_point3d_ids=ids)
+        )
+        cio.write_model(model, str(tmp_path), binary=True)
+        nt = native.read_images_bin_native(f"{tmp_path}/images.bin")
+        np.testing.assert_array_equal(nt.p2d_point3d_ids[::2], -1)
+
+    def test_truncated_file_rejected(self, lib, sparse_dir, tmp_path):
+        data = open(f"{sparse_dir}/points3D.bin", "rb").read()
+        bad = tmp_path / "points3D.bin"
+        bad.write_bytes(data[: len(data) // 2])
+        with pytest.raises(ValueError, match="corrupt"):
+            native.read_points3d_bin_native(str(bad))
+
+
+class TestNativeSpeed:
+    def test_faster_than_python(self, lib, tmp_path_factory):
+        # A larger model where parsing cost matters.
+        model = scene_to_colmap_model(
+            make_scene(n_cameras=20, n_points=20000, obs_per_camera=2000, seed=73)
+        )
+        d = tmp_path_factory.mktemp("speed")
+        cio.write_model(model, str(d), binary=True)
+        path = f"{d}/points3D.bin"
+
+        t0 = time.perf_counter()
+        read_points3d_bin(path, use_native=False)
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        native.read_points3d_bin_native(path)
+        t_nt = time.perf_counter() - t0
+        assert t_nt < t_py, f"native {t_nt:.4f}s vs python {t_py:.4f}s"

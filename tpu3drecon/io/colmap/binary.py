@@ -15,6 +15,7 @@ fallback and the correctness oracle for it.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict
 
@@ -62,7 +63,13 @@ def read_cameras_bin(path: str) -> Dict[int, ColmapCamera]:
     return cameras
 
 
-def read_images_bin(path: str) -> ColmapImages:
+def read_images_bin(path: str, use_native: bool = True) -> ColmapImages:
+    if use_native and os.environ.get("TPU3DRECON_NO_NATIVE") != "1":
+        from tpu3drecon.io.colmap import native
+
+        out = native.read_images_bin_native(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         buf = f.read()
     (num,) = struct.unpack_from("<Q", buf, 0)
@@ -117,7 +124,13 @@ def read_images_bin(path: str) -> ColmapImages:
     )
 
 
-def read_points3d_bin(path: str) -> ColmapPoints:
+def read_points3d_bin(path: str, use_native: bool = True) -> ColmapPoints:
+    if use_native and os.environ.get("TPU3DRECON_NO_NATIVE") != "1":
+        from tpu3drecon.io.colmap import native
+
+        out = native.read_points3d_bin_native(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         buf = f.read()
     (num,) = struct.unpack_from("<Q", buf, 0)
