@@ -1,0 +1,120 @@
+"""Tests for aux subsystems: visualization export, checkpoint/resume, timing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_ba_problem
+from tpu3drecon.solvers.bundle_adjust import BAConfig, ba_solve, reprojection_rmse
+from tpu3drecon.utils import visualization as viz
+from tpu3drecon.utils.checkpoint import (
+    ba_solve_checkpointed,
+    latest_step,
+    restore_state,
+    save_state,
+)
+from tpu3drecon.utils.timing import CompileRunTimer, device_sync, stopwatch
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n_cameras=5, n_points=100, seed=91)
+
+
+class TestVisualization:
+    def test_frustum_geometry(self, scene):
+        k = np.array(
+            [[scene.fx_fy[0, 0], 0, scene.cx_cy_skew[0, 0]],
+             [0, scene.fx_fy[0, 1], scene.cx_cy_skew[0, 1]],
+             [0, 0, 1]]
+        )
+        corners = viz.frustum_corners(
+            scene.rmats[0], scene.tvecs[0], k, scene.width, scene.height, depth=2.0
+        )
+        assert corners.shape == (5, 3)
+        # Center must be the camera center -R^T t.
+        np.testing.assert_allclose(
+            corners[0], -scene.rmats[0].T @ scene.tvecs[0], atol=1e-9
+        )
+        # All corners at depth 2 in the camera frame.
+        cam_frame = (corners[1:] - corners[0]) @ scene.rmats[0].T
+        np.testing.assert_allclose(cam_frame[:, 2], 2.0, atol=1e-9)
+
+    def test_scene_export(self, scene, tmp_path):
+        ks = np.stack(
+            [
+                [[scene.fx_fy[c, 0], 0, scene.cx_cy_skew[c, 0]],
+                 [0, scene.fx_fy[c, 1], scene.cx_cy_skew[c, 1]],
+                 [0, 0, 1]]
+                for c in range(scene.n_cameras)
+            ]
+        )
+        ply, obj = viz.export_scene(
+            str(tmp_path), scene.points3d, scene.rmats, scene.tvecs, ks,
+            [scene.width] * scene.n_cameras, [scene.height] * scene.n_cameras,
+        )
+        assert os.path.exists(ply) and os.path.exists(obj)
+        header = open(ply).read().split("end_header")[0]
+        assert f"element vertex {scene.n_points}" in header
+        obj_text = open(obj).read()
+        assert obj_text.count("\nl ") == scene.n_cameras * 8
+
+    def test_dataset_export(self, tmp_path):
+        from tpu3drecon.benchmark.datasets import get_dataset
+
+        ds = get_dataset("synthetic_small")
+        ply, obj = viz.export_dataset_scene(ds, str(tmp_path))
+        assert os.path.exists(ply) and os.path.exists(obj)
+
+    def test_matplotlib_quicklook(self, scene, tmp_path):
+        path = viz.plot_scene_matplotlib(
+            scene.points3d,
+            np.einsum("cji,cj->ci", scene.rmats, -scene.tvecs),
+            str(tmp_path / "scene.png"),
+        )
+        assert os.path.exists(path)
+
+
+class TestCheckpoint:
+    def test_save_restore_round_trip(self, tmp_path):
+        state = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+        save_state(state, str(tmp_path), 10)
+        assert latest_step(str(tmp_path)) == 10
+        restored = restore_state(state, str(tmp_path))
+        np.testing.assert_array_equal(restored["a"], np.arange(5.0))
+        np.testing.assert_array_equal(restored["b"]["c"], np.ones((2, 3)))
+
+    def test_chunked_ba_solve_with_resume(self, scene, tmp_path):
+        noisy = perturb_scene(scene, seed=92, point2d_noise=0.0)
+        problem, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        config = BAConfig(maxiter=20, gtol=1e-12, ftol=0.0, cg_rtol=1e-8)
+        ckdir = str(tmp_path / "ck")
+        cams, pts, state = ba_solve_checkpointed(problem, config, ckdir, chunk_iters=5)
+        assert latest_step(ckdir) is not None
+        rmse_full = float(reprojection_rmse(problem, cams, pts))
+        assert rmse_full < 1e-4
+
+        # Resume: a fresh call continues from the checkpoint instantly.
+        cams2, pts2, _ = ba_solve_checkpointed(problem, config, ckdir, chunk_iters=5)
+        rmse_resumed = float(reprojection_rmse(problem, cams2, pts2))
+        assert rmse_resumed <= rmse_full * 1.5 + 1e-9
+
+
+class TestTiming:
+    def test_compile_run_timer(self):
+        import jax
+
+        timer = CompileRunTimer()
+        f = jax.jit(lambda x: (x**2).sum())
+        out = timer.measure(f, jnp.arange(1000.0), repeats=3)
+        assert timer.compile_time is not None and timer.compile_time >= 0
+        assert len(timer.run_times) == 3
+        device_sync(out)
+
+    def test_stopwatch_sink(self):
+        sink = {}
+        with stopwatch("x", sink):
+            pass
+        assert "x" in sink and sink["x"] >= 0

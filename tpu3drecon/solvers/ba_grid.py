@@ -1,0 +1,379 @@
+"""Grid-layout bundle adjustment: the scatter-free single-chip fast path.
+
+Same LM/implicit-Schur algorithm as tpu3drecon.solvers.bundle_adjust (same
+damping control, same convergence semantics — equality is asserted in
+tests/test_ba_grid.py), but every reduction is restructured for the TPU
+memory model using the (C, K) observation grid + (P, T) track table of
+tpu3drecon.problems.grid:
+
+  - per-observation blocks are computed as scalar *planes* over (C, K) —
+    no per-observation tiny-matrix tensors with 2/3-wide trailing dims;
+  - U, g_c and the camera half of every W matvec contract over the K axis
+    as batched matmuls (MXU);
+  - V, g_p and the point half of W^T matvecs gather via the track table and
+    reduce densely over T — zero scatters anywhere in the solve.
+
+The flat-layout engine remains the multi-chip path (its segment-sums psum
+cleanly over an observation-sharded mesh); this one is the speed-of-light
+single-chip engine the benchmark runs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drecon.geometry.losses import RobustLoss, robust_weight
+from tpu3drecon.ops.jacobians import apply_se3_retraction
+from tpu3drecon.problems.grid import BAGridProblem
+from tpu3drecon.problems.packing import CameraParams
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.schur import inv3x3
+
+
+class GridBlocks(NamedTuple):
+    r: jax.Array  # (C, K, 2) whitened residual planes
+    jc: jax.Array  # (C, K, 2, 8)
+    jp: jax.Array  # (C, K, 2, 3)
+
+
+def grid_blocks(
+    rmats: jax.Array,
+    tvecs: jax.Array,
+    fx_fy: jax.Array,
+    cx_cy_skew: jax.Array,
+    points3d: jax.Array,
+    problem: BAGridProblem,
+    loss: RobustLoss,
+) -> GridBlocks:
+    """Residual + Jacobian planes over the (C, K) grid (scalar-plane math;
+    same formulas as ops/jacobians.obs_blocks, verified equal in tests)."""
+    dtype = points3d.dtype
+    x_w = points3d[problem.pt_idx]  # (C, K, 3) gather
+    xc = jnp.einsum("cij,ckj->cki", rmats, x_w) + tvecs[:, None, :]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    fx = fx_fy[:, 0:1]
+    fy = fx_fy[:, 1:2]
+    cx = cx_cy_skew[:, 0:1]
+    cy = cx_cy_skew[:, 1:2]
+    sk = cx_cy_skew[:, 2:3]
+
+    u = fx * x * iz + sk * y * iz + cx
+    v = fy * y * iz + cy
+    r = jnp.stack([u, v], axis=-1) - problem.uv
+    s = jnp.sum(r * r, axis=-1)
+    w = robust_weight(loss, jax.lax.stop_gradient(s))
+    scale = jnp.sqrt(w) * problem.mask * (1.0 / problem.avg_cam_width)
+
+    # dpi/dX_c entries as planes.
+    a11 = fx * iz
+    a12 = sk * iz
+    a13 = -(fx * x + sk * y) * iz2
+    a22 = fy * iz
+    a23 = -fy * y * iz2
+    zero = jnp.zeros_like(a11)
+
+    # J_rot = dpi @ (-[X_c]_x)  (expanded by hand).
+    jr00 = -a12 * z + a13 * y
+    jr01 = a11 * z - a13 * x
+    jr02 = -a11 * y + a12 * x
+    jr10 = -a22 * z + a23 * y
+    jr11 = -a23 * x
+    jr12 = a22 * x
+
+    # J_f.
+    jf00 = x * iz
+    jf11 = y * iz
+
+    # Row-major camera block planes: (C, K, 2, 8).
+    jc = jnp.stack(
+        [
+            jnp.stack([jr00, jr01, jr02, a11, a12, a13, jf00, zero], axis=-1),
+            jnp.stack([jr10, jr11, jr12, zero, a22, a23, zero, jf11], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    # J_pt = dpi @ R: contract dpi rows with the camera rotation.
+    dpi = jnp.stack(
+        [
+            jnp.stack([a11, a12, a13], axis=-1),
+            jnp.stack([zero, a22, a23], axis=-1),
+        ],
+        axis=-2,
+    )  # (C, K, 2, 3)
+    jp = jnp.einsum("ckri,cij->ckrj", dpi, rmats)
+
+    sc = scale[..., None]
+    return GridBlocks(r=r * sc, jc=jc * sc[..., None], jp=jp * sc[..., None])
+
+
+class GridNormal(NamedTuple):
+    u: jax.Array  # (C, 8, 8) damped
+    v_inv: jax.Array  # (P, 3, 3)
+    u_chol: jax.Array  # (C, 8, 8)
+    g_cam: jax.Array  # (C, 8)
+    g_pt: jax.Array  # (P, 3)
+    damp_cam: jax.Array  # (C, 8)
+    damp_pt: jax.Array  # (P, 3)
+    jc: jax.Array  # (C, K, 2, 8) kept for matvecs
+    jp: jax.Array  # (C, K, 2, 3)
+    jp_g: jax.Array  # (P, T, 2, 3) track-gathered jp
+    jc_g: jax.Array  # (P, T, 2, 8) track-gathered jc
+
+
+def build_grid_normal(
+    blocks: GridBlocks, problem: BAGridProblem, lam: jax.Array,
+    diag_floor: float = 1e-8,
+) -> GridNormal:
+    C, K = problem.uv.shape[:2]
+    P, T = problem.track_idx.shape
+    dtype = blocks.r.dtype
+
+    jc2 = blocks.jc.reshape(C, K * 2, 8)
+    r2 = blocks.r.reshape(C, K * 2)
+    u = jnp.einsum("cni,cnj->cij", jc2, jc2)  # batched MXU matmul
+    g_cam = jnp.einsum("cni,cn->ci", jc2, r2)
+
+    # One fused track gather: pack [Jp | r] per (obs, row) so each gathered
+    # row is 4 lanes (gathers of tiny rows are the TPU bottleneck; fusing
+    # halves the gather count), then one more for Jc (8 lanes).
+    packed = jnp.concatenate(
+        [blocks.jp, blocks.r[..., None]], axis=-1
+    ).reshape(C * K, 2, 4)
+    tm = problem.track_mask[..., None, None]
+    packed_g = packed[problem.track_idx] * tm  # (P, T, 2, 4)
+    jp_g = packed_g[..., :3]
+    r_g = packed_g[..., 3]
+    jc_g = blocks.jc.reshape(C * K, 2, 8)[problem.track_idx] * tm
+    jp_g2 = jp_g.reshape(P, T * 2, 3)
+    v = jnp.einsum("pni,pnj->pij", jp_g2, jp_g2)
+    g_pt = jnp.einsum("pni,pn->pi", jp_g2, r_g.reshape(P, T * 2))
+
+    eye8 = jnp.eye(8, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    du = jnp.clip(jnp.diagonal(u, axis1=-2, axis2=-1), diag_floor, None)
+    dv = jnp.clip(jnp.diagonal(v, axis1=-2, axis2=-1), diag_floor, None)
+    damp_cam = lam * du
+    damp_pt = lam * dv
+    u_d = u + damp_cam[..., None] * eye8
+    v_d = v + damp_pt[..., None] * eye3
+
+    return GridNormal(
+        u=u_d,
+        v_inv=inv3x3(v_d),
+        u_chol=jax.vmap(jnp.linalg.cholesky)(u_d),
+        g_cam=g_cam,
+        g_pt=g_pt,
+        damp_cam=damp_cam,
+        damp_pt=damp_pt,
+        jc=blocks.jc,
+        jp=blocks.jp,
+        jp_g=jp_g,
+        jc_g=jc_g,
+    )
+
+
+def w_times(nb: GridNormal, y_pt: jax.Array, problem: BAGridProblem) -> jax.Array:
+    """(W y)_c — all dense: gather y onto the grid, two tiny contractions."""
+    tmp = jnp.einsum("ckrj,ckj->ckr", nb.jp, y_pt[problem.pt_idx])
+    return jnp.einsum("ckri,ckr->ci", nb.jc, tmp)
+
+
+def wt_times(nb: GridNormal, x_cam: jax.Array, problem: BAGridProblem) -> jax.Array:
+    """(W^T x)_p — gathers x (a tiny (C,8) table, VMEM-resident) by the
+    per-track camera index instead of gathering a large intermediate, then
+    reduces densely over the track axis."""
+    x_g = x_cam[problem.track_cam]  # (P, T, 8) from a tiny source
+    s_g = jnp.einsum("ptri,pti->ptr", nb.jc_g, x_g)
+    return jnp.einsum("ptri,ptr->pi", nb.jp_g, s_g)
+
+
+def schur_matvec(nb: GridNormal, x_cam: jax.Array, problem: BAGridProblem) -> jax.Array:
+    ux = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+    wtx = wt_times(nb, x_cam, problem)
+    vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+    return ux - w_times(nb, vinv_wtx, problem)
+
+
+def precond_apply(nb: GridNormal, r_cam: jax.Array) -> jax.Array:
+    return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
+        nb.u_chol, r_cam
+    )
+
+
+def schur_pcg(
+    nb: GridNormal, b_cam: jax.Array, problem: BAGridProblem,
+    maxiter: int, rtol: float,
+):
+    dtype = b_cam.dtype
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(b_cam)
+    z0 = precond_apply(nb, b_cam)
+    rz0 = dot(b_cam, z0)
+    b_norm2 = jnp.maximum(dot(b_cam, b_cam), jnp.asarray(1e-32, dtype))
+    tol2 = jnp.asarray(rtol, dtype) ** 2 * b_norm2
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        sp = schur_matvec(nb, p, problem)
+        psp = dot(p, sp)
+        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
+        x = x + alpha * p
+        r = r - alpha * sp
+        z = precond_apply(nb, r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
+        return (x, r, z, z + beta * p, rz_new, k + 1)
+
+    x, r, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (x0, b_cam, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    )
+    return x, iters
+
+
+def ba_solve_grid(
+    problem: BAGridProblem, config: BAConfig = BAConfig()
+) -> Tuple[CameraParams, jax.Array, BAState]:
+    """Grid-layout BA solve; returns the same (cameras, points, BAState)
+    triple as ba_solve."""
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_grid_impl(problem, config)
+
+
+def _ba_solve_grid_impl(problem, config):
+    cams = problem.cameras
+    dtype = problem.points3d.dtype
+
+    def blocks_for(rmats, tvecs, fx_fy, points3d):
+        b = grid_blocks(
+            rmats, tvecs, fx_fy, cams.cx_cy_skew, points3d, problem, config.loss
+        )
+        jc, jp = b.jc, b.jp
+        if not config.optimize_focal:
+            jc = jc.at[..., 6:8].set(0.0)
+        if not config.optimize_points:
+            jp = jp * 0.0
+        return GridBlocks(r=b.r, jc=jc, jp=jp)
+
+    def loss_of(r):
+        return 0.5 * jnp.sum(r * r)
+
+    b0 = blocks_for(cams.rmats, cams.tvecs, cams.fx_fy, problem.points3d)
+
+    init = BAState(
+        rmats=cams.rmats,
+        tvecs=cams.tvecs,
+        fx_fy=cams.fx_fy,
+        points3d=problem.points3d,
+        loss=loss_of(b0.r),
+        lam=jnp.asarray(config.init_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        iter_num=jnp.zeros((), jnp.int32),
+        accepted=jnp.zeros((), jnp.int32),
+        grad_norm=jnp.asarray(jnp.inf, dtype),
+        converged=jnp.zeros((), bool),
+        cg_iters=jnp.zeros((), jnp.int32),
+        gain=jnp.zeros((), dtype),
+    )
+
+    def cond(state: BAState):
+        return jnp.logical_and(state.iter_num < config.maxiter, ~state.converged)
+
+    def body(state: BAState):
+        blocks = blocks_for(state.rmats, state.tvecs, state.fx_fy, state.points3d)
+        nb = build_grid_normal(blocks, problem, state.lam)
+        grad_norm = jnp.maximum(
+            jnp.max(jnp.abs(nb.g_cam)),
+            jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,
+        )
+
+        vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
+        b = -nb.g_cam + w_times(nb, vinv_gp, problem)
+        dc, cg_iters = schur_pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
+        dp = jnp.einsum(
+            "pij,pj->pi", nb.v_inv, -nb.g_pt - wt_times(nb, dc, problem)
+        )
+        if not config.optimize_points:
+            dp = dp * 0.0
+
+        new_r, new_t, new_f = apply_se3_retraction(
+            state.rmats, state.tvecs, state.fx_fy, dc
+        )
+        new_pts = state.points3d + dp
+        r_cand = blocks_for(new_r, new_t, new_f, new_pts).r
+        loss_cand = loss_of(r_cand)
+
+        pred = 0.5 * (
+            jnp.sum(dc * (nb.damp_cam * dc))
+            + jnp.sum(dp * (nb.damp_pt * dp))
+            - jnp.sum(dc * nb.g_cam)
+            - jnp.sum(dp * nb.g_pt)
+        )
+        pred = jnp.maximum(pred, jnp.asarray(1e-32, dtype))
+        gain = (state.loss - loss_cand) / pred
+        accept = jnp.logical_and(jnp.isfinite(loss_cand), loss_cand < state.loss)
+
+        lam_acc = state.lam * jnp.maximum(
+            jnp.asarray(1.0 / 3.0, dtype), 1.0 - (2.0 * gain - 1.0) ** 3
+        )
+        lam_new = jnp.clip(
+            jnp.where(accept, lam_acc, state.lam * state.nu),
+            config.min_lambda,
+            config.max_lambda,
+        )
+        nu_new = jnp.where(accept, jnp.asarray(2.0, dtype), state.nu * 2.0)
+
+        sel = lambda a, b_: jnp.where(accept, a, b_)
+        rel_decrease = (state.loss - loss_cand) <= config.ftol * jnp.maximum(
+            state.loss, jnp.asarray(1e-32, dtype)
+        )
+        converged = jnp.logical_or(
+            grad_norm < config.gtol, jnp.logical_and(accept, rel_decrease)
+        )
+
+        return BAState(
+            rmats=sel(new_r, state.rmats),
+            tvecs=sel(new_t, state.tvecs),
+            fx_fy=sel(new_f, state.fx_fy),
+            points3d=sel(new_pts, state.points3d),
+            loss=sel(loss_cand, state.loss),
+            lam=lam_new,
+            nu=nu_new,
+            iter_num=state.iter_num + 1,
+            accepted=state.accepted + accept.astype(jnp.int32),
+            grad_norm=grad_norm,
+            converged=converged,
+            cg_iters=cg_iters,
+            gain=gain,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    cameras_out = CameraParams(
+        rmats=final.rmats,
+        tvecs=final.tvecs,
+        fx_fy=final.fx_fy,
+        cx_cy_skew=cams.cx_cy_skew,
+    )
+    return cameras_out, final.points3d, final
+
+
+_GRID_SOLVER_CACHE: dict = {}
+
+
+def make_grid_ba_solver(config: BAConfig = BAConfig()):
+    if config not in _GRID_SOLVER_CACHE:
+        _GRID_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_grid(p, config))
+    return _GRID_SOLVER_CACHE[config]
