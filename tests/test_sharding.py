@@ -74,3 +74,21 @@ def test_solver_reuse_same_executable(problem):
     c1, p1, s1 = solver(placed)
     c2, p2, s2 = solver(placed)  # cache hit; identical results
     np.testing.assert_array_equal(np.array(p1), np.array(p2))
+
+
+def test_bal_class_shapes_dry_run():
+    # BAL-Ladybug-style ratio (many points, few cams) scaled for the CPU
+    # mesh: validates the sharded solve at high point-to-camera ratios
+    # (BASELINE.json config #5 dry-run; full scale runs on real TPU pods).
+    from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_ba_problem
+
+    scene = make_scene(n_cameras=40, n_points=20_000, obs_per_camera=600, seed=99)
+    noisy = perturb_scene(scene, seed=100, point2d_noise=0.0)
+    problem, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    config = BAConfig(maxiter=4, gtol=0.0, cg_maxiter=20, cg_rtol=1e-3)
+    cams, pts, state = ba_solve_sharded(problem, config, mesh=mesh)
+    assert np.all(np.isfinite(np.array(pts)))
+    rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
+    rmse1 = float(reprojection_rmse(problem, cams, pts))
+    assert rmse1 < 0.5 * rmse0
