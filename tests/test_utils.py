@@ -118,3 +118,39 @@ class TestTiming:
         with stopwatch("x", sink):
             pass
         assert "x" in sink and sink["x"] >= 0
+
+
+class TestMultiprocess:
+    def test_list_processor_single(self):
+        from tpu3drecon.utils.multiprocess import ListMultiProcessor
+
+        out = ListMultiProcessor([1, 2, 3], _square, num_processes=1).process()
+        assert out == [1, 4, 9]
+
+    def test_list_processor_parallel(self):
+        from tpu3drecon.utils.multiprocess import ListMultiProcessor
+
+        items = list(range(40))
+        out = ListMultiProcessor(items, _square, num_processes=2).process()
+        assert out == [x * x for x in items]
+
+
+def _square(x):
+    return x * x
+
+
+class TestOutputGrabber:
+    def test_captures_fd_level_writes(self, capfd):
+        import os
+        import sys
+
+        from tpu3drecon.benchmark.adapters.output_grabber import OutputGrabber
+
+        # pytest's capture replaces fd 1; disable it so the grabber dups the
+        # real stream like it would under the benchmark drivers.
+        with capfd.disabled():
+            g = OutputGrabber(sys.stdout)
+            with g:
+                # Write at the fd level, like native code would.
+                os.write(sys.stdout.fileno(), b"native-report-line\n")
+        assert "native-report-line" in g.capturedtext

@@ -233,3 +233,17 @@ class JaxBundleAdjustment:
             jnp.zeros((n, 3)),
             jnp.zeros((n, indices_num)),
         )
+
+
+def get_reprojection_residuals_cpu(pose, points, observations, intrinsics, mask):
+    """Reference utils.py:6-12: numpy CPU residual oracle (incl. its
+    hardcoded /250000 = 500^2 width normalizer)."""
+    ke = np.einsum("ij,jk->ik", np.asarray(intrinsics), np.asarray(pose)[:3, :])
+    x = np.einsum("ij,hj->hi", ke, np.asarray(points))
+    x = x[..., :2] / x[..., 2:3]
+    res = ((np.asarray(observations) - x) ** 2).sum(axis=1) / 250000
+    return np.where(np.asarray(mask), res, np.zeros_like(res))
+
+
+from tpu3drecon.utils.multiprocess import ListMultiProcessor  # noqa: E402,F401
+from tpu3drecon.benchmark.adapters.output_grabber import OutputGrabber  # noqa: E402,F401
