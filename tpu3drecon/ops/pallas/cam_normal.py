@@ -56,18 +56,19 @@ def pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width) -> jax.Array:
 
 
 def _cam_normal_kernel(
-    params_ref,  # (1, PARAM_WIDTH) SMEM
+    params_ref,  # (C, PARAM_WIDTH) SMEM, whole array
     xw_ref,  # (1, 3, K) VMEM: world points gathered onto the grid
     uv_ref,  # (1, 2, K) VMEM
-    mask_ref,  # (1, K) VMEM
+    mask_ref,  # (1, 1, K) VMEM
     r_ref,  # (1, 2, K) out
     jp_ref,  # (1, 6, K) out
     u_ref,  # (1, 8, 8) out
-    g_ref,  # (1, 8) out
+    g_ref,  # (1, 1, 8) out
     *,
     cauchy: bool,
 ):
-    p = params_ref[0, :]
+    cam = pl.program_id(0)
+    p = params_ref[cam, :]
     r00, r01, r02 = p[0], p[1], p[2]
     r10, r11, r12 = p[3], p[4], p[5]
     r20, r21, r22 = p[6], p[7], p[8]
@@ -79,7 +80,7 @@ def _cam_normal_kernel(
     xw0 = xw_ref[0, 0, :]
     xw1 = xw_ref[0, 1, :]
     xw2 = xw_ref[0, 2, :]
-    mask = mask_ref[0, :]
+    mask = mask_ref[0, 0, :]
 
     # Camera-frame point planes.
     x = r00 * xw0 + r01 * xw1 + r02 * xw2 + t0
@@ -165,7 +166,7 @@ def _cam_normal_kernel(
         [jnp.sum(jc_r0[i] * rw0 + jc_r1[i] * rw1) for i in range(8)]
     )
     u_ref[0, :, :] = u_mat
-    g_ref[0, :] = g_vec
+    g_ref[0, 0, :] = g_vec
 
 
 @functools.partial(jax.jit, static_argnames=("loss", "interpret"))
@@ -189,26 +190,30 @@ def cam_normal_fused(
     kernel = functools.partial(
         _cam_normal_kernel, cauchy=(loss == RobustLoss.CAUCHY)
     )
-    return pl.pallas_call(
+    # Mosaic requires the last two block dims to equal the array dims (or be
+    # tile multiples): params ride whole in SMEM (indexed by program_id),
+    # mask/g get a unit middle axis.
+    r, jp, u, g = pl.pallas_call(
         kernel,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, PARAM_WIDTH), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 2, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, 2, k), dtype),
             jax.ShapeDtypeStruct((c, 6, k), dtype),
             jax.ShapeDtypeStruct((c, 8, 8), dtype),
-            jax.ShapeDtypeStruct((c, 8), dtype),
+            jax.ShapeDtypeStruct((c, 1, 8), dtype),
         ],
         interpret=interpret,
-    )(params, x_w, uv, mask)
+    )(params, x_w, uv, mask[:, None, :])
+    return r, jp, u, g[:, 0, :]
