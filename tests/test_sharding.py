@@ -92,3 +92,28 @@ def test_bal_class_shapes_dry_run():
     rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
     rmse1 = float(reprojection_rmse(problem, cams, pts))
     assert rmse1 < 0.5 * rmse0
+
+
+def test_sharded_pose_refinement_batch_dp():
+    # Frame-batch data parallelism for the tracking config: results must
+    # match the single-device vmapped refiner.
+    from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_pose_problem
+    from tpu3drecon.parallel.sharded_pose import refine_poses_sharded
+    from tpu3drecon.solvers.lm_core import LMConfig
+    from tpu3drecon.solvers.pose_refine import refine_poses
+
+    scene = make_scene(n_cameras=16, n_points=300, obs_per_camera=150, seed=121)
+    noisy = perturb_scene(
+        scene, point3d_noise=0.0, camera_rotation_noise=1e-2,
+        camera_translation_noise=3e-2, camera_intrinsics_noise=0.0,
+        point2d_noise=0.0, seed=122,
+    )
+    problem, _ = scene_to_pose_problem(noisy, observed=scene, dtype=jnp.float64)
+    config = LMConfig(maxiter=50, gtol=1e-12)
+    mesh = make_mesh(8)
+    cams_s, state_s = refine_poses_sharded(problem, mesh=mesh, config=config)
+    cams_1, state_1 = refine_poses(problem, config=config)
+    np.testing.assert_allclose(
+        np.array(cams_s.tvecs), np.array(cams_1.tvecs), atol=1e-9
+    )
+    assert len(cams_s.rmats.sharding.device_set) == 8

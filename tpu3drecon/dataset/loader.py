@@ -253,3 +253,29 @@ def export_in_colmap_format(ds: Dataset, output_path: str, binary: bool = False)
         output_path,
         binary=binary,
     )
+
+
+def show_in_colmap(sparse_path: str, image_path: str,
+                   database_path: str = "/tmp/tpu3drecon_colmap.db",
+                   block: bool = False):
+    """Open a sparse model in the COLMAP GUI (reference loader.py:216-229);
+    no-op with a clear error if the colmap binary isn't installed."""
+    import shutil
+    import subprocess
+
+    binary = shutil.which(os.environ.get("COLMAP_BIN", "colmap"))
+    if binary is None:
+        raise RuntimeError("colmap binary not found (set COLMAP_BIN)")
+    cmd = [binary, "gui", "--import_path", sparse_path,
+           "--database_path", database_path, "--image_path", image_path]
+    if block:
+        return subprocess.run(cmd, stdout=subprocess.PIPE)
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE)
+
+
+def open_dataset_in_colmap(dataset: Dataset, output_path: str = "/tmp/tpu3drecon_export"):
+    """Export a Dataset and open it in the COLMAP GUI (reference
+    loader.py:232-239)."""
+    os.makedirs(output_path, exist_ok=True)
+    export_in_colmap_format(dataset, output_path, binary=True)
+    return show_in_colmap(output_path, dataset.images_path, block=True)
