@@ -68,14 +68,17 @@ def _cam_normal_kernel(
     cauchy: bool,
 ):
     cam = pl.program_id(0)
-    p = params_ref[cam, :]
-    r00, r01, r02 = p[0], p[1], p[2]
-    r10, r11, r12 = p[3], p[4], p[5]
-    r20, r21, r22 = p[6], p[7], p[8]
-    t0, t1, t2 = p[9], p[10], p[11]
-    fx, fy = p[12], p[13]
-    cx, cy, sk = p[14], p[15], p[16]
-    inv_w = p[17]
+    # SMEM only supports scalar loads.
+    def p(i):
+        return params_ref[cam, i]
+
+    r00, r01, r02 = p(0), p(1), p(2)
+    r10, r11, r12 = p(3), p(4), p(5)
+    r20, r21, r22 = p(6), p(7), p(8)
+    t0, t1, t2 = p(9), p(10), p(11)
+    fx, fy = p(12), p(13)
+    cx, cy, sk = p(14), p(15), p(16)
+    inv_w = p(17)
 
     xw0 = xw_ref[0, 0, :]
     xw1 = xw_ref[0, 1, :]
