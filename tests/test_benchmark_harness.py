@@ -141,8 +141,11 @@ class TestSubprocessIsolation:
     def test_subprocess_benchmark(self, noised_dataset):
         import jax.numpy as jnp
 
+        # Generous timeout: the spawned child recompiles from scratch, and
+        # compile latency in this container spikes when another process holds
+        # the TPU tunnel.
         b = TpuBundleAdjustmentBenchmark(noised_dataset, dtype=jnp.float64)
-        b.subprocess_benchmark(timeout_s=600)
+        b.subprocess_benchmark(timeout_s=1800)
         assert b.time is not None
         assert len(b.results.camera_mapping) == len(noised_dataset.datasetEntries)
 

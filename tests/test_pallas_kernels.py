@@ -68,3 +68,40 @@ def test_masked_columns_contribute_zero(grid):
     assert float(jnp.abs(u_pl).max()) == 0.0
     assert float(jnp.abs(g_pl).max()) == 0.0
     assert float(jnp.abs(r_pl).max()) == 0.0
+
+
+def test_point_normal_matches_grid_engine(grid):
+    from tpu3drecon.ops.pallas.point_normal import point_normal_fused
+    from tpu3drecon.solvers.ba_grid import build_grid_normal
+    from tpu3drecon.solvers.ba_grid import grid_blocks as gb
+
+    cams = grid.cameras
+    lam = jnp.asarray(1e-3, jnp.float32)
+    blocks = gb(
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+        grid.points3d, grid, RobustLoss.TRIVIAL,
+    )
+    nb = build_grid_normal(blocks, grid, lam)
+
+    # Inputs for the kernel: track-gathered jp/r in (P, T2, 3)/(P, T2) form.
+    P, T = grid.track_idx.shape
+    jp_g = np.array(nb.jp_g).reshape(P, T * 2, 3)
+    C, K = grid.uv.shape[:2]
+    r_flat = np.array(blocks.r).reshape(C * K, 2)
+    r_g = (
+        r_flat[np.array(grid.track_idx)]
+        * np.array(grid.track_mask)[..., None]
+    ).reshape(P, T * 2)
+
+    # Pad P to the block size.
+    blk = 64
+    pad = (-P) % blk
+    jp_g_p = np.pad(jp_g, ((0, pad), (0, 0), (0, 0)))
+    r_g_p = np.pad(r_g, ((0, pad), (0, 0)))
+    vinv, g_pt, damp = point_normal_fused(
+        jnp.asarray(jp_g_p), jnp.asarray(r_g_p), lam,
+        block_points=blk, interpret=True,
+    )
+    np.testing.assert_allclose(np.array(vinv)[:P], np.array(nb.v_inv), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.array(g_pt)[:P], np.array(nb.g_pt), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.array(damp)[:P], np.array(nb.damp_pt), rtol=1e-4, atol=1e-9)
