@@ -32,7 +32,7 @@ def test_cam_normal_matches_grid_engine(grid, loss):
     cams, x_w, uv = _planes_inputs(grid)
     inv_w = jnp.asarray(1.0, jnp.float32) / grid.avg_cam_width
 
-    r_pl, jp_pl, u_pl, g_pl = cam_normal_fused(
+    r_pl, jp_pl, jc_pl, u_pl, g_pl = cam_normal_fused(
         cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
         x_w, uv, grid.mask, inv_w, loss=loss, interpret=True,
     )
@@ -53,6 +53,8 @@ def test_cam_normal_matches_grid_engine(grid, loss):
     )
     jp_ref = jnp.transpose(blocks.jp, (0, 2, 3, 1)).reshape(C, 6, K)
     np.testing.assert_allclose(np.array(jp_pl), np.array(jp_ref), atol=1e-5)
+    jc_ref = jnp.transpose(blocks.jc, (0, 2, 3, 1)).reshape(C, 16, K)
+    np.testing.assert_allclose(np.array(jc_pl), np.array(jc_ref), atol=1e-5)
     np.testing.assert_allclose(np.array(u_pl), np.array(u_ref), rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(np.array(g_pl), np.array(g_ref), rtol=2e-4, atol=1e-4)
 
@@ -61,7 +63,7 @@ def test_masked_columns_contribute_zero(grid):
     cams, x_w, uv = _planes_inputs(grid)
     inv_w = jnp.asarray(1.0, jnp.float32) / grid.avg_cam_width
     # Zero the mask entirely: everything must come out exactly 0.
-    r_pl, jp_pl, u_pl, g_pl = cam_normal_fused(
+    r_pl, jp_pl, jc_pl, u_pl, g_pl = cam_normal_fused(
         cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
         x_w, uv, jnp.zeros_like(grid.mask), inv_w, interpret=True,
     )

@@ -62,6 +62,7 @@ def _cam_normal_kernel(
     mask_ref,  # (1, 1, K) VMEM
     r_ref,  # (1, 2, K) out
     jp_ref,  # (1, 6, K) out
+    jc_ref,  # (1, 16, K) out: whitened camera-Jacobian planes (row-major)
     u_ref,  # (1, 8, 8) out
     g_ref,  # (1, 1, 8) out
     *,
@@ -146,6 +147,9 @@ def _cam_normal_kernel(
 
     r_ref[0, 0, :] = rw0
     r_ref[0, 1, :] = rw1
+    for i in range(8):
+        jc_ref[0, i, :] = jc_r0[i]
+        jc_ref[0, 8 + i, :] = jc_r1[i]
     jp_ref[0, 0, :] = jp00
     jp_ref[0, 1, :] = jp01
     jp_ref[0, 2, :] = jp02
@@ -185,7 +189,7 @@ def cam_normal_fused(
     loss: RobustLoss = RobustLoss.TRIVIAL,
     interpret: bool = False,
 ):
-    """Returns (r (C,2,K), jp (C,6,K), U (C,8,8), g (C,8))."""
+    """Returns (r (C,2,K), jp (C,6,K), jc (C,16,K), U (C,8,8), g (C,8))."""
     c, _, k = x_w.shape
     dtype = x_w.dtype
     params = pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width)
@@ -196,7 +200,7 @@ def cam_normal_fused(
     # Mosaic requires the last two block dims to equal the array dims (or be
     # tile multiples): params ride whole in SMEM (indexed by program_id),
     # mask/g get a unit middle axis.
-    r, jp, u, g = pl.pallas_call(
+    r, jp, jc, u, g = pl.pallas_call(
         kernel,
         grid=(c,),
         in_specs=[
@@ -208,15 +212,17 @@ def cam_normal_fused(
         out_specs=[
             pl.BlockSpec((1, 2, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, 2, k), dtype),
             jax.ShapeDtypeStruct((c, 6, k), dtype),
+            jax.ShapeDtypeStruct((c, 16, k), dtype),
             jax.ShapeDtypeStruct((c, 8, 8), dtype),
             jax.ShapeDtypeStruct((c, 1, 8), dtype),
         ],
         interpret=interpret,
     )(params, x_w, uv, mask[:, None, :])
-    return r, jp, u, g[:, 0, :]
+    return r, jp, jc, u, g[:, 0, :]

@@ -1,0 +1,267 @@
+"""Pallas-backed bundle adjustment: fused-kernel linearization, plane-layout
+matvecs, shared trust-region loop.
+
+Per outer iteration:
+  1. ops/pallas/cam_normal.py computes r/jp/jc planes + U + g_cam in one
+     VMEM pass per camera row;
+  2. one XLA track gather moves jp/r rows to the point side;
+  3. ops/pallas/point_normal.py fuses V accumulation + damping + closed-form
+     inverse + g_pt;
+  4. the Schur-CG matvecs run in XLA over the (C, comp, K) *plane layout*
+     (lane axis = K everywhere — no tiny-trailing-dim tensors anywhere);
+  5. the shared trust-region controller (solvers/trust_region.py) does
+     accept/reject — identical control flow to the flat/grid engines, so
+     results match them (tests/test_ba_pallas.py).
+
+``interpret=True`` runs the kernels on CPU for tests; compiled mode is the
+TPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drecon.ops.jacobians import apply_se3_retraction
+from tpu3drecon.ops.pallas.cam_normal import cam_normal_fused
+from tpu3drecon.ops.pallas.point_normal import point_normal_fused
+from tpu3drecon.problems.grid import BAGridProblem
+from tpu3drecon.problems.packing import CameraParams
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.trust_region import trust_region_solve
+
+_POINT_BLOCK = 512
+
+
+class PlaneNormal(NamedTuple):
+    """One linearization in plane layout."""
+
+    u_chol: jax.Array  # (C, 8, 8) cholesky of damped U
+    u: jax.Array  # (C, 8, 8) damped
+    g_cam: jax.Array  # (C, 8)
+    g_pt: jax.Array  # (P, 3)
+    v_inv: jax.Array  # (P, 3, 3)
+    damp_cam: jax.Array  # (C, 8)
+    damp_pt: jax.Array  # (P, 3)
+    jc: jax.Array  # (C, 16, K) planes
+    jp: jax.Array  # (C, 6, K) planes
+    jp_g: jax.Array  # (P, T2, 3) track-gathered
+
+
+def _linearize(params, lam, problem: BAGridProblem, config: BAConfig, interpret: bool):
+    rmats, tvecs, fx_fy, points3d = params
+    c, k = problem.uv.shape[:2]
+    p_num, t = problem.track_idx.shape
+    dtype = points3d.dtype
+
+    x_w = jnp.transpose(points3d[problem.pt_idx], (0, 2, 1))  # (C,3,K)
+    uv = jnp.transpose(problem.uv, (0, 2, 1))  # (C,2,K)
+    inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+
+    r, jp, jc, u0, g_cam = cam_normal_fused(
+        rmats, tvecs, fx_fy, problem.cameras.cx_cy_skew,
+        x_w, uv, problem.mask, inv_w, loss=config.loss, interpret=interpret,
+    )
+    if not config.optimize_focal:
+        # Zero the focal planes (rows 6, 7, 14, 15) and the matching U/g rows.
+        zero_rows = jnp.asarray([6, 7, 14, 15])
+        jc = jc.at[:, zero_rows, :].set(0.0)
+        keep = jnp.ones((8,), dtype).at[6:8].set(0.0)
+        u0 = u0 * keep[None, :, None] * keep[None, None, :]
+        g_cam = g_cam * keep[None, :]
+
+    # Track gather: jp/r rows to the point side.
+    jp_rows = jnp.transpose(jp, (0, 2, 1)).reshape(c * k, 6)
+    r_rows = jnp.transpose(r, (0, 2, 1)).reshape(c * k, 2)
+    tm = problem.track_mask[..., None]
+    jp_g = (jp_rows[problem.track_idx] * tm).reshape(p_num, t * 2, 3)
+    r_g = (r_rows[problem.track_idx] * tm).reshape(p_num, t * 2)
+
+    # Pad the point axis to the kernel block.
+    pad = (-p_num) % _POINT_BLOCK
+    if pad:
+        jp_g_k = jnp.pad(jp_g, ((0, pad), (0, 0), (0, 0)))
+        r_g_k = jnp.pad(r_g, ((0, pad), (0, 0)))
+    else:
+        jp_g_k, r_g_k = jp_g, r_g
+    v_inv, g_pt, damp_pt = point_normal_fused(
+        jp_g_k, r_g_k, lam, block_points=_POINT_BLOCK, interpret=interpret
+    )
+    v_inv, g_pt, damp_pt = v_inv[:p_num], g_pt[:p_num], damp_pt[:p_num]
+    if not config.optimize_points:
+        g_pt = g_pt * 0.0
+
+    eye8 = jnp.eye(8, dtype=dtype)
+    du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
+    damp_cam = lam * du
+    u_d = u0 + damp_cam[..., None] * eye8
+    u_chol = jax.vmap(jnp.linalg.cholesky)(u_d)
+
+    return PlaneNormal(
+        u_chol=u_chol, u=u_d, g_cam=g_cam, g_pt=g_pt, v_inv=v_inv,
+        damp_cam=damp_cam, damp_pt=damp_pt, jc=jc, jp=jp, jp_g=jp_g,
+    )
+
+
+def _w_times(nb: PlaneNormal, y_pt: jax.Array, problem: BAGridProblem) -> jax.Array:
+    """(W y)_c in plane layout: all (C, comp, K) contractions."""
+    y_g = jnp.transpose(y_pt[problem.pt_idx], (0, 2, 1))  # (C,3,K)
+    jp0 = nb.jp[:, 0:3, :]
+    jp1 = nb.jp[:, 3:6, :]
+    tmp0 = jnp.sum(jp0 * y_g, axis=1)  # (C,K) row-0 product
+    tmp1 = jnp.sum(jp1 * y_g, axis=1)
+    out0 = jnp.einsum("cik,ck->ci", nb.jc[:, :8, :], tmp0)
+    out1 = jnp.einsum("cik,ck->ci", nb.jc[:, 8:, :], tmp1)
+    return out0 + out1
+
+
+def _wt_times(nb: PlaneNormal, x_cam: jax.Array, problem: BAGridProblem) -> jax.Array:
+    """(W^T x)_p: camera half on planes, point half via the track table."""
+    c, k = problem.uv.shape[:2]
+    p_num, t = problem.track_idx.shape
+    s0 = jnp.einsum("cik,ci->ck", nb.jc[:, :8, :], x_cam)
+    s1 = jnp.einsum("cik,ci->ck", nb.jc[:, 8:, :], x_cam)
+    s = jnp.stack([s0, s1], axis=-1).reshape(c * k, 2)
+    s_g = (s[problem.track_idx] * problem.track_mask[..., None]).reshape(p_num, t * 2)
+    return jnp.einsum("pni,pn->pi", nb.jp_g, s_g)
+
+
+def _schur_matvec(nb, x, problem):
+    ux = jnp.einsum("cij,cj->ci", nb.u, x)
+    wtx = _wt_times(nb, x, problem)
+    vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+    return ux - _w_times(nb, vinv_wtx, problem)
+
+
+def _pcg(nb, b, problem, maxiter, rtol):
+    dtype = b.dtype
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    def precond(r):
+        return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
+            nb.u_chol, r
+        )
+
+    z0 = precond(b)
+    rz0 = dot(b, z0)
+    tol2 = jnp.asarray(rtol, dtype) ** 2 * jnp.maximum(dot(b, b), 1e-32)
+
+    def cond(st):
+        _, r, _, _, _, i = st
+        return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
+
+    def body(st):
+        x, r, z, p, rz, i = st
+        sp = _schur_matvec(nb, p, problem)
+        alpha = rz / jnp.where(jnp.abs(dot(p, sp)) < 1e-32, 1.0, dot(p, sp))
+        x = x + alpha * p
+        r = r - alpha * sp
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
+        return (x, r, z, z + beta * p, rz_new, i + 1)
+
+    x, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    )
+    return x, iters
+
+
+def _cost(params, problem: BAGridProblem, config: BAConfig) -> jax.Array:
+    """0.5 * ||whitened r||^2 on the grid (plain XLA plane math)."""
+    from tpu3drecon.geometry.losses import robust_weight
+
+    rmats, tvecs, fx_fy, points3d = params
+    dtype = points3d.dtype
+    x_w = points3d[problem.pt_idx]  # (C,K,3)
+    xc = jnp.einsum("cij,ckj->cki", rmats, x_w) + tvecs[:, None, :]
+    z = xc[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
+    fx = fx_fy[:, 0:1]
+    fy = fx_fy[:, 1:2]
+    ccs = problem.cameras.cx_cy_skew
+    u = fx * xc[..., 0] * iz + ccs[:, 2:3] * xc[..., 1] * iz + ccs[:, 0:1]
+    v = fy * xc[..., 1] * iz + ccs[:, 1:2]
+    r = jnp.stack([u, v], axis=-1) - problem.uv
+    s = jnp.sum(r * r, axis=-1)
+    w = robust_weight(config.loss, jax.lax.stop_gradient(s))
+    scale2 = w * (problem.mask / problem.avg_cam_width) ** 2
+    return 0.5 * jnp.sum(s * scale2 * jnp.where(problem.mask > 0, 1.0, 0.0))
+
+
+def ba_solve_pallas(
+    problem: BAGridProblem,
+    config: BAConfig = BAConfig(),
+    interpret: bool = False,
+) -> Tuple[CameraParams, jax.Array, BAState]:
+    """Full Pallas-path BA solve; same outputs as ba_solve/ba_solve_grid."""
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_pallas_impl(problem, config, interpret)
+
+
+def _ba_solve_pallas_impl(problem, config, interpret):
+    cams = problem.cameras
+    dtype = problem.points3d.dtype
+    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, problem.points3d)
+
+    def propose(params, lam):
+        nb = _linearize(params, lam, problem, config, interpret)
+        grad_norm = jnp.maximum(
+            jnp.max(jnp.abs(nb.g_cam)),
+            jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,
+        )
+        vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
+        b = -nb.g_cam + _w_times(nb, vinv_gp, problem)
+        dc, cg_iters = _pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
+        dp = jnp.einsum(
+            "pij,pj->pi", nb.v_inv, -nb.g_pt - _wt_times(nb, dc, problem)
+        )
+        if not config.optimize_points:
+            dp = dp * 0.0
+        pred = 0.5 * (
+            jnp.sum(dc * (nb.damp_cam * dc))
+            + jnp.sum(dp * (nb.damp_pt * dp))
+            - jnp.sum(dc * nb.g_cam)
+            - jnp.sum(dp * nb.g_pt)
+        )
+        return (dc, dp), grad_norm, pred, cg_iters
+
+    def apply_step(params, delta):
+        rmats, tvecs, fx_fy, points3d = params
+        dc, dp = delta
+        new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc)
+        return (new_r, new_t, new_f, points3d + dp)
+
+    cost = functools.partial(_cost, problem=problem, config=config)
+
+    final = trust_region_solve(
+        propose, apply_step, cost, params0, config, dtype
+    )
+    rmats, tvecs, fx_fy, points3d = final.params
+    cameras_out = CameraParams(
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew
+    )
+    state = BAState(
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, points3d=points3d,
+        loss=final.loss, lam=final.lam, nu=final.nu, iter_num=final.iter_num,
+        accepted=final.accepted, grad_norm=final.grad_norm,
+        converged=final.converged, cg_iters=final.cg_iters, gain=final.gain,
+    )
+    return cameras_out, points3d, state
+
+
+_PALLAS_SOLVER_CACHE: dict = {}
+
+
+def make_pallas_ba_solver(config: BAConfig = BAConfig(), interpret: bool = False):
+    key = (config, interpret)
+    if key not in _PALLAS_SOLVER_CACHE:
+        _PALLAS_SOLVER_CACHE[key] = jax.jit(
+            lambda p: ba_solve_pallas(p, config, interpret)
+        )
+    return _PALLAS_SOLVER_CACHE[key]
