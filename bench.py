@@ -27,9 +27,31 @@ import json
 CPU_BASELINE_S = 9.695
 
 
+def _tpu_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the TPU in a subprocess (the tunnel can wedge such that any
+    jax op hangs forever; a hung probe must not take bench.py down)."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return proc.returncode == 0 and b"6.0" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(force_cpu: bool = False) -> None:
     import jax
 
+    tpu_fell_back = False
+    if not force_cpu and not _tpu_alive():
+        tpu_fell_back = True
+        force_cpu = True
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -57,6 +79,7 @@ def main(force_cpu: bool = False) -> None:
             "n_obs": problem.n_obs,
             "backend": jax.default_backend(),
             "cpu_baseline_s": CPU_BASELINE_S,
+            "tpu_probe_failed": tpu_fell_back,
         },
     }
     print(json.dumps(result))
