@@ -109,7 +109,9 @@ def robust_alignment(
     """
     rng = np.random.default_rng(seed)
     n = len(source)
-    subset = subset or max(3, n // 2)
+    # RANSAC-style: minimal samples so that with outlier fraction f the
+    # chance of an all-inlier trial (1-f)^subset stays high across n_trials.
+    subset = subset or 4
     best: Optional[Similarity] = None
     best_err = np.inf
     src = jnp.asarray(source)
