@@ -158,3 +158,47 @@ class TestReporting:
         paths = rep.bundle_adjustment_statistics([tpu_ba, scipy_ba], "synthetic_small_noised")
         assert all(os.path.exists(p) for p in paths)
         assert len(paths) == 3
+
+
+class TestDrivers:
+    def test_ba_driver_cross_framework(self, tmp_path, monkeypatch):
+        # The full driver path: TPU + scipy on one dataset, with persistence.
+        import tpu3drecon.benchmark.drivers as drv
+
+        ds = get_dataset("synthetic_small_noised")
+        benchmarks = drv.benchmark_bundle_adjustment(
+            ds,
+            with_colmap_baseline=False,  # not installed here
+            with_gtsam_baseline=False,
+            save=True,
+            results_root=str(tmp_path),
+        )
+        assert len(benchmarks) == 2  # tpu + scipy
+        assert os.path.isdir(os.path.join(tmp_path, "latest"))
+        for b in benchmarks:
+            means = drv.mean_reprojection_errors(b)
+            assert np.isfinite(np.nanmean(list(means.values())))
+
+    def test_cost_curve_plot(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        import tpu3drecon.benchmark.reporting as rep
+        from tpu3drecon.problems.from_dataset import pose_problem_from_dataset
+        from tpu3drecon.solvers.pose_refine import pose_params_pack, refine_poses
+        from tpu3drecon.solvers.lm_core import LMConfig
+
+        monkeypatch.setattr(rep, "EVALUATION_PATH", str(tmp_path))
+        ds = get_dataset("synthetic_small_noised")
+        problem, _ = pose_problem_from_dataset(ds, dtype=jnp.float64)
+        p0 = pose_params_pack(problem.cameras)
+        cams, _ = refine_poses(problem, config=LMConfig(maxiter=30))
+        p1 = pose_params_pack(cams)
+        path = rep.plot_pose_cost_curve(problem, 0, np.array(p0[0]), np.array(p1[0]))
+        assert os.path.exists(path)
+
+    def test_reduced_ids_helper(self):
+        ds = get_dataset("synthetic_small")
+        ids = ds.get_reduced_dataset_2d_ids_per_camera(3, 50)
+        assert set(ids.keys()) == {0, 1, 2}
+        as_list = ds.get_reduced_dataset_2d_ids_per_camera(3, 50, as_list=True)
+        assert len(as_list) == 3

@@ -186,3 +186,59 @@ def replot_latest(results_dir: str, dataset_name: Optional[str] = None) -> List[
     if ba:
         paths += bundle_adjustment_statistics(ba, dataset_name)
     return paths
+
+
+def plot_pose_cost_curve(
+    problem,
+    camera_index: int,
+    params_initial,
+    params_final,
+    n_samples: int = 50,
+    dataset_name: Optional[str] = None,
+    fname: str = "pose_cost_curve.png",
+) -> str:
+    """Cost along the SE(3)-interpolated path between an initial and final
+    pose (reference jaxopt_benchmark/helpers.py:132-191's plot_costs):
+    geodesic interpolation of the rotation (via rodrigues of the relative
+    rotation) + linear interpolation of translation/focals, evaluating the
+    whitened PnP cost of one camera of a PoseProblem."""
+    import jax.numpy as jnp
+
+    from tpu3drecon.geometry.rotations import (
+        matrix_to_rodrigues,
+        rodrigues_to_matrix,
+    )
+    from tpu3drecon.solvers.pose_refine import pose_residuals_per_axis
+
+    p0 = np.asarray(params_initial, dtype=np.float64)
+    p1 = np.asarray(params_final, dtype=np.float64)
+    r0 = rodrigues_to_matrix(jnp.asarray(p0[:3]))
+    r1 = rodrigues_to_matrix(jnp.asarray(p1[:3]))
+    rel = matrix_to_rodrigues(jnp.asarray(np.asarray(r0).T @ np.asarray(r1)))
+
+    ts = np.linspace(0.0, 1.0, n_samples)
+    costs = []
+    for t in ts:
+        rt = np.asarray(r0) @ np.asarray(rodrigues_to_matrix(jnp.asarray(t * np.asarray(rel))))
+        rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(rt)))
+        pt = np.concatenate([rvec, (1 - t) * p0[3:] + t * p1[3:]])
+        res = pose_residuals_per_axis(
+            jnp.asarray(pt),
+            problem.points3d[camera_index],
+            problem.points2d[camera_index],
+            problem.cameras.cx_cy_skew[camera_index],
+            problem.mask[camera_index],
+            problem.avg_cam_width,
+        )
+        costs.append(0.5 * float(np.sum(np.asarray(res) ** 2)))
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(ts, costs, marker=".")
+    ax.set_xlabel("interpolation t (0 = initial pose, 1 = optimized)")
+    ax.set_ylabel("0.5 * ||whitened residual||^2")
+    ax.set_yscale("log")
+    ax.set_title(f"Cost along SE(3) path — camera {camera_index}")
+    path = os.path.join(_out_dir(dataset_name), fname)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -198,3 +198,25 @@ class Dataset:
                 )
             )
         return Dataset(points3D=new_points, datasetEntries=new_entries, name=self.name)
+
+    def get_reduced_dataset_2d_ids_per_camera(
+        self, cameras_limit: int, points_limit: int, as_list: bool = False
+    ):
+        """Per-camera lists of the Point2D ids a reduction would keep
+        (reference dataset.py:203-218)."""
+        entries = self.datasetEntries[:cameras_limit]
+        counts = Counter()
+        for e in entries:
+            counts.update(
+                p.point3D_identifier for p in e.points_with_3d()[:points_limit]
+            )
+        surviving = {pid for pid, c in counts.items() if c >= 2}
+        res = {
+            index: [
+                p.identifier
+                for p in e.points_with_3d()[:points_limit]
+                if p.point3D_identifier in surviving
+            ]
+            for index, e in enumerate(entries)
+        }
+        return list(res.values()) if as_list else res
