@@ -340,3 +340,26 @@ class CameraPose:
     @staticmethod
     def compute_rotation_error_in_degrees(a: "CameraPose", b: "CameraPose") -> float:
         return CameraPose.compute_rotation_error_in_rad(a, b) * 180.0 / np.pi
+
+
+def _orthonormalize(matrix_3d: np.ndarray) -> np.ndarray:
+    """Project a near-rotation onto SO(3) via SVD."""
+    u, _, vt = np.linalg.svd(matrix_3d)
+    r = u @ vt
+    if np.linalg.det(r) < 0:
+        u[:, -1] *= -1
+        r = u @ vt
+    return r
+
+
+def _camera_pose_apply_transform_4d(self: "CameraPose", matrix_4d: np.ndarray) -> None:
+    """Apply a homogeneous 4x4 transform to this pose in place, with proper
+    re-orthonormalization (the reference's apply_transform_4d,
+    camera_pose.py:83-97, normalized rows r1,r1,r3 — a bug; here the product
+    rotation is projected onto SO(3) by SVD)."""
+    new = np.asarray(matrix_4d) @ self.transformation_translation_matrix
+    self.rotation = _orthonormalize(new[:3, :3])
+    self.translation = new[:3, 3]
+
+
+CameraPose.apply_transform_4d = _camera_pose_apply_transform_4d

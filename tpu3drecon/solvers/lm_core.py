@@ -111,7 +111,6 @@ def _lm_solve_impl(residual_fn, params0, args, config, retract):
         gain=jnp.zeros((), dtype),
     )
 
-    eye = jnp.eye(n_params, dtype=dtype)
 
     def cond(state: LMState):
         return jnp.logical_and(state.iter_num < config.maxiter, ~state.converged)
