@@ -154,3 +154,39 @@ class TestOutputGrabber:
                 # Write at the fd level, like native code would.
                 os.write(sys.stdout.fileno(), b"native-report-line\n")
         assert "native-report-line" in g.capturedtext
+
+
+class TestCheckpointGridEngine:
+    def test_chunked_solve_with_grid_solver(self, scene, tmp_path):
+        from tpu3drecon.problems.grid import grid_from_flat
+        from tpu3drecon.solvers.ba_grid import ba_solve_grid
+
+        noisy = perturb_scene(scene, seed=93, point2d_noise=0.0)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        grid = grid_from_flat(flat)
+        config = BAConfig(maxiter=10, gtol=1e-12, ftol=0.0, cg_rtol=1e-8)
+        cams, pts, state = ba_solve_checkpointed(
+            grid, config, str(tmp_path / "ckg"), chunk_iters=5,
+            solver_fn=ba_solve_grid,
+        )
+        assert float(reprojection_rmse(flat, cams, pts)) < 1e-3
+
+
+class TestCompatOracle:
+    def test_cpu_residual_oracle(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        from tpu3drecon import compat
+
+        rot = Rotation.random(random_state=np.random.RandomState(2)).as_matrix()
+        pose = np.c_[rot, [0.1, 0.2, 5.0]]
+        pose44 = np.r_[pose, [[0, 0, 0, 1]]]
+        k = np.array([[500.0, 0, 250], [0, 500.0, 250], [0, 0, 1]])
+        pts = rng.normal(size=(10, 3)) + [0, 0, 2.0]
+        hom = np.c_[pts, np.ones(10)]
+        proj = (k @ (pose @ hom.T))
+        obs = (proj[:2] / proj[2]).T
+        res = compat.get_reprojection_residuals_cpu(
+            pose44, hom, obs, k, np.ones(10, bool)
+        )
+        np.testing.assert_allclose(res, 0.0, atol=1e-12)
