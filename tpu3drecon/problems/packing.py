@@ -114,6 +114,7 @@ class ProblemMeta:
     point_ids: np.ndarray  # COLMAP point3D ids per packed point row
     widths: np.ndarray
     n_real_obs: int = 0
+    distortion: Optional[np.ndarray] = None  # per-camera radial coeffs (BAL)
 
 
 def _camera_arrays_from_model(
