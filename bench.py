@@ -27,7 +27,7 @@ import json
 CPU_BASELINE_S = 9.695
 
 
-def _tpu_alive(timeout_s: float = 120.0) -> bool:
+def _tpu_alive(timeout_s: float = 300.0) -> bool:
     """Probe the TPU in a subprocess (the tunnel can wedge such that any
     jax op hangs forever; a hung probe must not take bench.py down)."""
     import subprocess
