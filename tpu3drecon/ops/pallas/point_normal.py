@@ -1,24 +1,21 @@
 """Pallas kernel: point-side BA normal-equation reduction.
 
-Consumes the residual / point-Jacobian planes written by the camera-side
-kernel (ops/pallas/cam_normal.py) after an XLA track-table gather, and
-produces per-point damped-V inverses and gradients in one pass:
+Consumes the residual / point-Jacobian rows gathered via the track table
+(XLA expresses gathers; scatters and the blocked 3x3 algebra are what this
+kernel fuses) and produces per-point damped-V inverses and gradients in one
+VMEM pass:
 
   - V_p     = sum_t Jp_t^T Jp_t   (3x3, damped)
   - v_inv_p = (V_p + lam diag)^{-1}  via closed-form adjugate
   - g_p     = sum_t Jp_t^T r_t
 
-Input layout: the track gather runs in XLA (gathers are expressible there;
-scatters are not — this kernel exists so the 3x3 inverse + reduction happen
-in one VMEM pass instead of several XLA ops over (P,3,3) tensors with
-hostile trailing dims).  Blocks process P_BLK points at a time with the
-point axis on lanes:
+Input layout: the three Jacobian COLUMNS arrive as separate (P, T2) planes
+(T2 = 2*T residual rows per point) — a trailing (T2, 3) block would be
+tile-padded 3 -> 128 lanes by Mosaic and blow the VMEM budget (measured:
+18.5M scoped vs the 16M limit at P_BLK=512).  With component planes every
+block is a clean (P_BLK, T2) tile and all math is plane arithmetic.
 
-  jp_g: (P, 6, T2) where T2 = 2*T rows of [jp00..jp12] per track entry
-  r_g:  (P, 1, T2)
-
-Everything is plane math over (P_BLK,) vectors; tested against the XLA grid
-engine in tests/test_pallas_kernels.py.
+Tested against the XLA grid engine in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -33,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _point_normal_kernel(
     lam_ref,  # (1, 1) SMEM damping
-    jp_ref,  # (P_BLK, T2, 3) VMEM gathered point Jacobian rows
-    r_ref,  # (P_BLK, T2) VMEM gathered residual rows
+    jpx_ref,  # (P_BLK, T2) VMEM: Jp column x over residual rows
+    jpy_ref,  # (P_BLK, T2)
+    jpz_ref,  # (P_BLK, T2)
+    r_ref,  # (P_BLK, T2) gathered residual rows
     vinv_ref,  # (P_BLK, 3, 3) out
     g_ref,  # (P_BLK, 1, 3) out
     damp_ref,  # (P_BLK, 1, 3) out: damping actually added (for gain ratio)
@@ -42,12 +41,12 @@ def _point_normal_kernel(
     diag_floor: float,
 ):
     lam = lam_ref[0, 0]
-    jp = jp_ref[...]  # (P_BLK, T2, 3)
-    r = r_ref[...]  # (P_BLK, T2)
+    cols = (jpx_ref[...], jpy_ref[...], jpz_ref[...])
+    r = r_ref[...]
 
-    # V entries as (P_BLK,) planes: V[i][j] = sum_t jp[:, t, i] * jp[:, t, j].
-    v = [[jnp.sum(jp[:, :, i] * jp[:, :, j], axis=1) for j in range(3)] for i in range(3)]
-    g = [jnp.sum(jp[:, :, i] * r, axis=1) for i in range(3)]
+    # V entries as (P_BLK,) planes: V[i][j] = sum_t col_i * col_j.
+    v = [[jnp.sum(cols[i] * cols[j], axis=1) for j in range(3)] for i in range(3)]
+    g = [jnp.sum(cols[i] * r, axis=1) for i in range(3)]
 
     d0 = lam * jnp.maximum(v[0][0], diag_floor)
     d1 = lam * jnp.maximum(v[1][1], diag_floor)
@@ -83,7 +82,7 @@ def point_normal_fused(
     r_g: jax.Array,  # (P, T2) track-gathered whitened residuals
     lam: jax.Array,  # () damping
     diag_floor: float = 1e-8,
-    block_points: int = 1024,
+    block_points: int = 512,
     interpret: bool = False,
 ):
     """Returns (v_inv (P,3,3), g_pt (P,3), damp_pt (P,3))."""
@@ -93,15 +92,24 @@ def point_normal_fused(
         raise ValueError(f"P={p} must be a multiple of block_points={block_points}")
     grid = (p // block_points,)
     lam_arr = jnp.reshape(lam.astype(dtype), (1, 1))
+    # Component planes (kernel-friendly tiles).
+    jpx = jp_g[..., 0]
+    jpy = jp_g[..., 1]
+    jpz = jp_g[..., 2]
 
     kernel = functools.partial(_point_normal_kernel, diag_floor=diag_floor)
+    plane_spec = pl.BlockSpec(
+        (block_points, t2), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     vinv, g, damp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_points, t2, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_points, t2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            plane_spec,
+            plane_spec,
+            plane_spec,
+            plane_spec,
         ],
         out_specs=[
             pl.BlockSpec((block_points, 3, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -114,5 +122,5 @@ def point_normal_fused(
             jax.ShapeDtypeStruct((p, 1, 3), dtype),
         ],
         interpret=interpret,
-    )(lam_arr, jp_g, r_g)
+    )(lam_arr, jpx, jpy, jpz, r_g)
     return vinv, g[:, 0, :], damp[:, 0, :]
