@@ -31,7 +31,7 @@ import json
 CPU_BASELINE_S = 9.695
 
 
-def _tpu_alive(timeout_s: float = 300.0) -> bool:
+def _tpu_alive(timeout_s: float = 900.0) -> bool:
     """Probe the TPU in a subprocess (the tunnel can wedge such that any
     jax op hangs forever; a hung probe must not take bench.py down).
 
@@ -39,6 +39,11 @@ def _tpu_alive(timeout_s: float = 300.0) -> bool:
     itself what wedges the tunnel for the next claimer.  If the probe
     doesn't finish in time we abandon it (it keeps running and exits
     cleanly whenever the device frees up) and fall back to CPU.
+
+    The timeout is generous because device CLAIMS take 2-5 minutes when any
+    process used the TPU recently (measured: 127s / 292s for a trivial op
+    right after a previous user exited) — the probe doubles as the
+    wait-for-claim.
     """
     import subprocess
     import sys
