@@ -26,9 +26,9 @@ import json
 
 
 # Measured 2026-08-16 on this container's host CPU (single jax CPU device,
-# all cores): 30 LM iters of the identical solve, f32, after warm-up.
-# Reproduce with: python bench.py --cpu
-CPU_BASELINE_S = 9.695
+# all cores): 30 LM iters of the identical solve (cg_maxiter=12), f32, after
+# warm-up, best of 2.  Reproduce with: python bench.py --cpu
+CPU_BASELINE_S = 8.078
 
 
 def _tpu_alive(timeout_s: float = 900.0) -> bool:
