@@ -61,3 +61,20 @@ def test_pallas_cauchy_loss(problems):
     err = np.linalg.norm(np.array(sim.apply(pts_p)) - np.array(pts_g), axis=1)
     assert np.median(err) < 1e-2
     assert int(state_p.accepted) > 0
+
+
+def test_bucketed_tracks_match_plain(problems):
+    from tpu3drecon.problems.grid import grid_bucketed_from_flat
+
+    flat, grid = problems
+    bucketed = grid_bucketed_from_flat(flat, point_block=64)
+    # Bucket A should hold most points at a tight T.
+    assert bucketed.buckets[0].track_idx.shape[1] <= grid.track_idx.shape[1]
+    config = BAConfig(maxiter=25, gtol=1e-10, cg_maxiter=60, cg_rtol=1e-6)
+    cams_b, pts_b, state_b = ba_solve_pallas(bucketed, config, interpret=True)
+    cams_p, pts_p, state_p = ba_solve_pallas(grid, config, interpret=True)
+    assert pts_b.shape == pts_p.shape  # un-permuted back to original order
+    rmse_b = float(reprojection_rmse(flat, cams_b, pts_b))
+    rmse_p = float(reprojection_rmse(flat, cams_p, pts_p))
+    assert rmse_b < max(2.0 * rmse_p, 0.02)
+    np.testing.assert_allclose(np.array(pts_b), np.array(pts_p), atol=5e-3)

@@ -24,14 +24,58 @@ This is the same restructuring 3DGS-LM/PBA-class systems use for GPU BA
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpu3drecon.problems.packing import BAProblem, CameraParams, bucket_size
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TrackBucket:
+    """One track-length bucket: points whose tracks fit in T slots."""
+
+    track_idx: jax.Array  # (Pb, T) int32 into flat C*K
+    track_cam: jax.Array  # (Pb, T) int32
+    track_mask: jax.Array  # (Pb, T)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BAGridBucketedProblem:
+    """Grid-layout BA problem with track-length-bucketed point tables.
+
+    The single (P, T_max) track table wastes gathers badly when the track
+    distribution is skewed (mean ~2, max ~16 on photo-tourism-like data: 87%
+    of gathered rows are padding).  Here points are PERMUTED so same-bucket
+    points are contiguous, each bucket has a tight T, and the point axis is
+    padded per bucket to the point-kernel block size.  ``pt_idx`` on the
+    camera grid is relabeled to the permuted order; ``point_rows`` maps
+    permuted rows back to the original point rows (use it to un-permute
+    solver output).
+    """
+
+    cameras: CameraParams
+    points3d: jax.Array  # (P_pad, 3) permuted + padded
+    uv: jax.Array  # (C, K, 2)
+    pt_idx: jax.Array  # (C, K) int32 into permuted points
+    mask: jax.Array  # (C, K)
+    buckets: Tuple[TrackBucket, ...]
+    avg_cam_width: jax.Array  # ()
+    # point_rows is data (int32 array): original row of each permuted row
+    # (-1 for padding rows).
+    point_rows: jax.Array = None
+    # Static metadata (hashable for jit caching).
+    n_real_points: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def n_cameras(self) -> int:
+        return self.uv.shape[0]
 
 
 @jax.tree_util.register_dataclass
@@ -132,3 +176,103 @@ def grid_from_flat(
         track_mask=jnp.asarray(tmask, dtype),
         avg_cam_width=problem.avg_cam_width,
     )
+
+
+def grid_bucketed_from_flat(
+    problem: BAProblem,
+    obs_pad_multiple: int = 128,
+    small_track: int = 4,
+    point_block: int = 512,
+) -> BAGridBucketedProblem:
+    """Repack a flat BAProblem into the bucketed grid layout.
+
+    Points with track length <= ``small_track`` form bucket A (tight T);
+    the rest form bucket B with T = max track length (rounded to 4).  Each
+    bucket's point count is padded to ``point_block`` (the Pallas point
+    kernel's block size); padding rows have empty tracks and zero points.
+    """
+    base = grid_from_flat(problem, obs_pad_multiple=obs_pad_multiple)
+    gpt = np.asarray(base.pt_idx)
+    gmask = np.asarray(base.mask)
+    tidx = np.asarray(base.track_idx)
+    tcam = np.asarray(base.track_cam)
+    tmask = np.asarray(base.track_mask)
+    points = np.asarray(jax.device_get(base.points3d))
+    P, T = tidx.shape
+
+    lengths = tmask.sum(axis=1).astype(np.int64)
+    small = lengths <= small_track
+    rows_a = np.nonzero(small)[0]
+    rows_b = np.nonzero(~small)[0]
+
+    def pad_to(n, m):
+        return ((n + m - 1) // m) * m if n else 0
+
+    pa = pad_to(len(rows_a), point_block)
+    pb = pad_to(len(rows_b), point_block)
+
+    t_a = max(4, small_track)
+    t_b = bucket_size(max(int(lengths[rows_b].max()) if len(rows_b) else 1, 1), 4)
+
+    def build_bucket(rows, p_pad, t):
+        bi = np.zeros((p_pad, t), np.int32)
+        bc = np.zeros((p_pad, t), np.int32)
+        bm = np.zeros((p_pad, t), tmask.dtype)
+        n = len(rows)
+        bi[:n] = tidx[rows, :t]
+        bc[:n] = tcam[rows, :t]
+        bm[:n] = tmask[rows, :t]
+        return TrackBucket(
+            track_idx=jnp.asarray(bi),
+            track_cam=jnp.asarray(bc),
+            track_mask=jnp.asarray(bm),
+        )
+
+    buckets = []
+    if len(rows_a):
+        buckets.append(build_bucket(rows_a, pa, t_a))
+    if len(rows_b):
+        buckets.append(build_bucket(rows_b, pb, t_b))
+
+    # Permuted + padded point array: [A points | A pad | B points | B pad].
+    p_total = pa + pb
+    new_points = np.zeros((p_total, 3), points.dtype)
+    point_rows = np.full(p_total, -1, np.int64)
+    new_points[: len(rows_a)] = points[rows_a]
+    point_rows[: len(rows_a)] = rows_a
+    new_points[pa : pa + len(rows_b)] = points[rows_b]
+    point_rows[pa : pa + len(rows_b)] = rows_b
+
+    # Relabel the grid's pt_idx to permuted rows.
+    old_to_new = np.zeros(P, np.int64)
+    old_to_new[rows_a] = np.arange(len(rows_a))
+    old_to_new[rows_b] = pa + np.arange(len(rows_b))
+    new_pt_idx = old_to_new[gpt].astype(np.int32)
+    # Padded grid cells keep mask 0; their pt_idx points at row old_to_new[0].
+
+    dtype = problem.uv.dtype
+    return BAGridBucketedProblem(
+        cameras=base.cameras,
+        points3d=jnp.asarray(new_points, dtype),
+        uv=base.uv,
+        pt_idx=jnp.asarray(new_pt_idx),
+        mask=base.mask,
+        buckets=tuple(buckets),
+        avg_cam_width=base.avg_cam_width,
+        point_rows=jnp.asarray(point_rows.astype(np.int32)),
+        n_real_points=P,
+    )
+
+
+def unpermute_points(
+    solved_points: jax.Array, problem: BAGridBucketedProblem
+) -> jax.Array:
+    """Map bucketed-solver point output back to the original point order."""
+    rows = jnp.asarray(problem.point_rows)
+    out = jnp.zeros((problem.n_real_points, solved_points.shape[1]), solved_points.dtype)
+    valid = rows >= 0
+    safe_rows = jnp.where(valid, rows, 0)
+    # scatter-ADD with zeroed padding rows: every real row is written exactly
+    # once; padding rows contribute 0 to row 0 (a .set could let a padding
+    # write clobber the real row 0 nondeterministically).
+    return out.at[safe_rows].add(solved_points * valid[:, None])
