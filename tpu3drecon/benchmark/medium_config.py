@@ -67,13 +67,14 @@ def build_problem(dtype=None, on_host: bool = False):
 
 
 def build_grid_problem(dtype=None):
-    """Medium problem in grid layout, packed host-side then device_put once."""
+    """Medium problem in bucketed grid layout, packed host-side then
+    device_put once."""
     import jax
 
-    from tpu3drecon.problems.grid import grid_from_flat
+    from tpu3drecon.problems.grid import grid_bucketed_from_flat
 
     problem = build_problem(dtype, on_host=True)
-    grid = grid_from_flat(problem)
+    grid = grid_bucketed_from_flat(problem)
     return jax.device_put(grid)
 
 
