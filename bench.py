@@ -27,7 +27,9 @@ import json
 
 # Measured 2026-08-16 on this container's host CPU (single jax CPU device,
 # all cores): 30 LM iters of the identical solve (cg_maxiter=12), f32, after
-# warm-up, best of 2.  Reproduce with: python bench.py --cpu
+# warm-up, best of 2.  Host CPU wall time varies 8-12s with shared-host
+# conditions; the FASTEST observed run is recorded (conservative: it
+# understates the TPU speedup).  Reproduce with: python bench.py --cpu
 CPU_BASELINE_S = 8.078
 
 
