@@ -49,3 +49,14 @@ def test_problem_packs_and_solves(bal_file):
     rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
     rmse1 = float(reprojection_rmse(problem, cams, pts))
     assert rmse1 < 0.05 * rmse0
+
+
+def test_corrupt_bal_clear_error(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("3 2 1\n0 0 1.0")
+    with pytest.raises(ValueError, match="corrupt BAL file.*promises 3 cams"):
+        read_bal(str(bad))
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="missing header"):
+        read_bal(str(empty))

@@ -91,3 +91,26 @@ class TestNativeSpeed:
         native.read_points3d_bin_native(path)
         t_nt = time.perf_counter() - t0
         assert t_nt < t_py, f"native {t_nt:.4f}s vs python {t_py:.4f}s"
+
+
+class TestTruncationFuzz:
+    def test_native_and_python_agree_on_truncations(self, lib, sparse_dir, tmp_path):
+        # Every truncation point must be rejected by BOTH parsers (never a
+        # silent partial parse by one of them).
+        import random
+
+        data = open(f"{sparse_dir}/points3D.bin", "rb").read()
+        rng = random.Random(0)
+        for cut in sorted(rng.sample(range(9, len(data) - 1), 12)):
+            bad = tmp_path / "points3D.bin"
+            bad.write_bytes(data[:cut])
+            native_err = python_err = False
+            try:
+                native.read_points3d_bin_native(str(bad))
+            except Exception:
+                native_err = True
+            try:
+                read_points3d_bin(str(bad), use_native=False)
+            except Exception:
+                python_err = True
+            assert native_err and python_err, f"cut={cut}: native_err={native_err} python_err={python_err}"

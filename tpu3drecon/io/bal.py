@@ -34,12 +34,16 @@ def read_bal(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
         opener = bz2.open
     with opener(path, "rt") as f:
         tokens = f.read().split()
-    it = iter(tokens)
-    n_cams = int(next(it))
-    n_pts = int(next(it))
-    n_obs = int(next(it))
-
-    rest = np.array(tokens[3:], dtype=np.float64)
+    if len(tokens) < 3:
+        raise ValueError(f"corrupt BAL file {path!r}: missing header")
+    n_cams, n_pts, n_obs = (int(t) for t in tokens[:3])
+    expected = 3 + n_obs * 4 + n_cams * 9 + n_pts * 3
+    if len(tokens) < expected:
+        raise ValueError(
+            f"corrupt BAL file {path!r}: header promises {n_cams} cams / "
+            f"{n_pts} pts / {n_obs} obs = {expected} tokens, found {len(tokens)}"
+        )
+    rest = np.array(tokens[3:expected], dtype=np.float64)
     obs_block = rest[: n_obs * 4].reshape(n_obs, 4)
     cam_idx = obs_block[:, 0].astype(np.int32)
     pt_idx = obs_block[:, 1].astype(np.int32)
