@@ -1,35 +1,72 @@
-"""BAL-format round-trip and solve tests."""
+"""BAL-format loader tests against an independent oracle.
+
+The fixture generates observations by evaluating BAL's OWN camera model
+(Agarwal et al.: P = R X + t, p = -P/P.z, pixel = f * r(p) * p — the exact
+formula in Ceres' snavely_reprojection_error.h), with no code shared with the
+loader.  This pins the loader's convention handling (the diag(1,-1,-1)
+conjugation + v negation) to the published model rather than to a
+self-consistent round trip.
+"""
+
+import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_ba_problem
-from tpu3drecon.geometry.rotations import matrix_to_rodrigues_batch
 from tpu3drecon.io.bal import ba_problem_from_bal, read_bal, write_bal
 from tpu3drecon.solvers.bundle_adjust import BAConfig, ba_solve, reprojection_rmse
 
 
+def _rodrigues(rvec: np.ndarray) -> np.ndarray:
+    """Axis-angle -> rotation matrix (plain numpy, independent of tpu3drecon)."""
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rvec / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _bal_project(rvec, tvec, f, k1, k2, pts):
+    """BAL's published projection model, straight from the problem definition."""
+    P = pts @ _rodrigues(rvec).T + tvec
+    p = -P[:, :2] / P[:, 2:3]
+    r2 = np.sum(p * p, axis=1, keepdims=True)
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    return f * radial * p
+
+
+def _make_bal_scene(seed=77, n_cams=6, n_pts=150, k1k2=(0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    # BAL cameras look down -z: points in front have z_cam < 0.
+    points = rng.normal(size=(n_pts, 3)) * np.array([2.0, 2.0, 0.8]) + np.array(
+        [0.0, 0.0, -6.0]
+    )
+    rvecs = rng.normal(size=(n_cams, 3)) * 0.05
+    tvecs = rng.normal(size=(n_cams, 3)) * 0.2
+    f = 500.0 + rng.uniform(size=n_cams) * 100.0
+    k1 = np.full(n_cams, k1k2[0])
+    k2 = np.full(n_cams, k1k2[1])
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    uv = np.concatenate(
+        [
+            _bal_project(rvecs[c], tvecs[c], f[c], k1[c], k2[c], points)
+            for c in range(n_cams)
+        ]
+    )
+    cam_params = np.concatenate(
+        [rvecs, tvecs, f[:, None], k1[:, None], k2[:, None]], axis=1
+    )
+    return cam_idx, pt_idx, uv, cam_params, points
+
+
 @pytest.fixture(scope="module")
 def bal_file(tmp_path_factory):
-    # Build a BAL file from a synthetic scene: convert our +z pinhole
-    # extrinsics into BAL's -z convention (inverse of the reader's flip).
-    scene = make_scene(n_cameras=6, n_points=150, seed=131)
-    noisy = perturb_scene(scene, seed=132, point2d_noise=0.0)
-    flip = np.diag([1.0, -1.0, -1.0])
-    rmats_bal = np.einsum("ij,cjk->cik", flip, noisy.rmats)
-    tvecs_bal = noisy.tvecs @ flip.T
-    rvecs = np.asarray(matrix_to_rodrigues_batch(jnp.asarray(rmats_bal)))
-    f = noisy.fx_fy[:, 0]
-    cam_params = np.concatenate(
-        [rvecs, tvecs_bal, f[:, None], np.zeros((len(f), 2))], axis=1
-    )
-    # Observations: centered pixels from the CLEAN scene with the noisy cams'
-    # principal points removed (BAL has pp at origin): use uv - (cx, cy),
-    # with fy forced == fx for BAL's single-focal model.
-    uv_centered = scene.uv - noisy.cx_cy_skew[scene.cam_idx][:, :2]
+    cam_idx, pt_idx, uv, cam_params, points = _make_bal_scene()
     path = tmp_path_factory.mktemp("bal") / "problem.txt"
-    write_bal(str(path), scene.cam_idx, scene.pt_idx, uv_centered, cam_params, noisy.points3d)
+    write_bal(str(path), cam_idx, pt_idx, uv, cam_params, points)
     return str(path)
 
 
@@ -40,14 +77,31 @@ def test_read_round_trip(bal_file):
     assert len(cam_idx) == len(pt_idx) == len(uv)
 
 
+def test_loader_matches_bal_model(bal_file):
+    """At ground truth, our residuals on the loaded problem must be ~0.
+
+    The observations were produced by BAL's own formula; if the loader's
+    convention transform (extrinsic conjugation, v flip) is wrong on any axis
+    this is off by hundreds of pixels, not epsilon.
+    """
+    problem, meta = ba_problem_from_bal(bal_file, dtype=jnp.float64)
+    rmse = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
+    assert rmse < 1e-9, f"loader disagrees with the BAL camera model: rmse={rmse}"
+
+
 def test_problem_packs_and_solves(bal_file):
     problem, meta = ba_problem_from_bal(bal_file, dtype=jnp.float64)
     assert problem.n_cameras == 6
-    assert meta.distortion.shape == (6, 2)
+    # Perturb geometry, then solve back to the observations.
+    rng = np.random.default_rng(5)
+    pts0 = jnp.asarray(
+        np.asarray(problem.points3d) + rng.normal(size=problem.points3d.shape) * 0.01
+    )
+    problem_noisy = dataclasses.replace(problem, points3d=pts0)
     config = BAConfig(maxiter=40, gtol=1e-12, cg_rtol=1e-8, optimize_focal=False)
-    cams, pts, state = ba_solve(problem, config)
-    rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
-    rmse1 = float(reprojection_rmse(problem, cams, pts))
+    cams, pts, state = ba_solve(problem_noisy, config)
+    rmse0 = float(reprojection_rmse(problem_noisy, problem_noisy.cameras, pts0))
+    rmse1 = float(reprojection_rmse(problem_noisy, cams, pts))
     assert rmse1 < 0.05 * rmse0
 
 

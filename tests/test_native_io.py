@@ -73,6 +73,40 @@ class TestNativeMatchesPython:
         with pytest.raises(ValueError, match="corrupt"):
             native.read_points3d_bin_native(str(bad))
 
+    def test_overflowing_track_len_rejected(self, lib, tmp_path):
+        # A crafted track_len near 2^64/8 makes `track_len * 8` wrap uint64;
+        # a multiplying bounds check would pass and the parse loop would then
+        # write out of bounds. Must be rejected, not crash.
+        import struct
+
+        crafted = struct.pack("<Q", 1)  # one point
+        crafted += struct.pack("<Q", 7)  # id
+        crafted += struct.pack("<3d", 0.0, 0.0, 0.0)  # xyz
+        crafted += bytes(3)  # rgb
+        crafted += struct.pack("<d", 0.0)  # error
+        crafted += struct.pack("<Q", (1 << 61) + 5)  # track_len: *8 wraps to 40
+        crafted += bytes(40)
+        bad = tmp_path / "points3D.bin"
+        bad.write_bytes(crafted)
+        with pytest.raises(ValueError, match="corrupt"):
+            native.read_points3d_bin_native(str(bad))
+
+    def test_overflowing_p2d_count_rejected(self, lib, tmp_path):
+        import struct
+
+        crafted = struct.pack("<Q", 1)  # one image
+        crafted += struct.pack("<I", 1)  # image id
+        crafted += struct.pack("<4d", 1.0, 0.0, 0.0, 0.0)  # qvec
+        crafted += struct.pack("<3d", 0.0, 0.0, 0.0)  # tvec
+        crafted += struct.pack("<I", 1)  # camera id
+        crafted += b"img\x00"  # name
+        crafted += struct.pack("<Q", (1 << 61) + 3)  # n_p2d: *24 wraps small
+        crafted += bytes(72)
+        bad = tmp_path / "images.bin"
+        bad.write_bytes(crafted)
+        with pytest.raises(ValueError, match="corrupt"):
+            native.read_images_bin_native(str(bad))
+
 
 class TestNativeSpeed:
     def test_faster_than_python(self, lib, tmp_path_factory):

@@ -39,9 +39,16 @@ def world_to_camera(rmat: jax.Array, tvec: jax.Array, xyz: jax.Array) -> jax.Arr
 def perspective_project(
     xyz_cam: jax.Array, fx_fy: jax.Array, cx_cy_skew: jax.Array
 ) -> jax.Array:
-    """Camera-frame point -> pixel coordinates (perspective divide)."""
+    """Camera-frame point -> pixel coordinates (perspective divide).
+
+    The divide is guarded (same z_safe used by ops/jacobians.py and ba_grid):
+    padded rows carry (0,0,0) points whose z would otherwise produce inf, and
+    inf * 0-mask = NaN would poison the whole batched loss — the guard keeps
+    the padded-rows-contribute-exact-zeros invariant.
+    """
     z = xyz_cam[2]
-    inv_z = 1.0 / z
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.ones((), z.dtype), z)
+    inv_z = 1.0 / z_safe
     x, y = xyz_cam[0] * inv_z, xyz_cam[1] * inv_z
     u = fx_fy[0] * x + cx_cy_skew[2] * y + cx_cy_skew[0]
     v = fx_fy[1] * y + cx_cy_skew[1]

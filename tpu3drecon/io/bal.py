@@ -85,12 +85,16 @@ def ba_problem_from_bal(
 ) -> Tuple[BAProblem, ProblemMeta]:
     """Load a BAL file as a packed BAProblem.
 
-    BAL's camera frame looks down -z; we conjugate with diag(1,-1,-1) so the
-    extrinsics become +z-forward pinhole (R' = D R, t' = D t, with the pixel
-    coordinates unchanged because the same flip negates both axes of the
-    projection: BAL's p = -[x/z, y/z] f becomes our p = [x'/z', y'/z'] f).
-    Radial distortion coefficients (k1, k2) are carried in the meta for
-    future distortion support; the packed problem is pinhole.
+    BAL's camera frame looks down -z with projection p = -f * [x/z, y/z]
+    (Agarwal et al.; see Ceres' snavely_reprojection_error.h).  We conjugate
+    the extrinsics with D = diag(1,-1,-1) (R' = D R, t' = D t), which maps the
+    u axis exactly (u' = f x'/z' = -f x/z = u_bal) but flips v
+    (v' = f y'/z' = +f y/z = -v_bal) — no proper rotation fixes both axes at
+    once — so the v observations are negated on load.  Verified against the
+    BAL model directly in tests/test_bal.py::test_loader_matches_bal_model.
+    Radial distortion coefficients (k1, k2) are carried per camera (BAL
+    convention: r(p) = 1 + k1 |p|^2 + k2 |p|^4 on NORMALIZED coordinates) and
+    applied by the solver's projection model.
     """
     import jax.numpy as jnp
 
@@ -107,6 +111,8 @@ def ba_problem_from_bal(
     rmats = np.einsum("ij,cjk->cik", flip, rmats)
     tvecs = tvecs @ flip.T
     focals = cam_params[:, 6]
+    uv = uv.copy()
+    uv[:, 1] = -uv[:, 1]  # v' = -v_bal (see docstring: D flips u but not v)
 
     n_obs = len(cam_idx)
     n_pad = bucket_size(max(n_obs, 1), pad_multiple)

@@ -27,6 +27,19 @@ struct Cursor {
 
   bool ok(uint64_t n) const { return static_cast<uint64_t>(end - p) >= n; }
 
+  // Overflow-safe variant for count*size records: `count * size` can wrap
+  // uint64 on a corrupt/crafted file and defeat the bounds check, so divide
+  // instead of multiplying.
+  bool ok_count(uint64_t count, uint64_t size) const {
+    return count <= static_cast<uint64_t>(end - p) / size;
+  }
+
+  bool skip_count(uint64_t count, uint64_t size) {
+    if (!ok_count(count, size)) return false;
+    p += count * size;
+    return true;
+  }
+
   template <typename T>
   bool read(T* out) {
     if (!ok(sizeof(T))) return false;
@@ -64,7 +77,7 @@ int colmap_scan_points3d(const uint8_t* buf, uint64_t len,
     if (!c.skip(8 + 24 + 3 + 8)) return kErrTruncated;
     uint64_t track_len;
     if (!c.read(&track_len)) return kErrTruncated;
-    if (!c.skip(track_len * 8)) return kErrTruncated;
+    if (!c.skip_count(track_len, 8)) return kErrTruncated;
     track_total += track_len;
   }
   *num_points = n;
@@ -94,7 +107,7 @@ int colmap_parse_points3d(const uint8_t* buf, uint64_t len, int64_t* ids,
     c.p += 8;
     uint64_t track_len = 0;
     if (!c.read(&track_len)) return kErrTruncated;
-    if (!c.ok(track_len * 8)) return kErrTruncated;
+    if (!c.ok_count(track_len, 8)) return kErrTruncated;
     for (uint64_t t = 0; t < track_len; ++t) {
       std::memcpy(track_image_ids + toff + t, c.p + 8 * t, 4);
       std::memcpy(track_p2d_idxs + toff + t, c.p + 8 * t + 4, 4);
@@ -126,7 +139,7 @@ int colmap_scan_images(const uint8_t* buf, uint64_t len, uint64_t* num_images,
     c.p = nul + 1;
     uint64_t n_p2d;
     if (!c.read(&n_p2d)) return kErrTruncated;
-    if (!c.skip(n_p2d * 24)) return kErrTruncated;
+    if (!c.skip_count(n_p2d, 24)) return kErrTruncated;
     p2d_total += n_p2d;
   }
   *num_images = n;
@@ -165,7 +178,7 @@ int colmap_parse_images(const uint8_t* buf, uint64_t len, int32_t* image_ids,
     c.p = nul + 1;
     uint64_t n_p2d;
     if (!c.read(&n_p2d)) return kErrTruncated;
-    if (!c.ok(n_p2d * 24)) return kErrTruncated;
+    if (!c.ok_count(n_p2d, 24)) return kErrTruncated;
     for (uint64_t k = 0; k < n_p2d; ++k) {
       std::memcpy(p2d_xy + 2 * (p2d_off + k), c.p + 24 * k, 16);
       std::memcpy(p2d_point3d_ids + p2d_off + k, c.p + 24 * k + 16, 8);

@@ -139,12 +139,28 @@ def _camera_arrays_from_model(
     return cameras, widths, np.asarray(model.images.image_ids)[image_rows]
 
 
+def _searchsorted_hits(
+    sorted_ids: np.ndarray, ids: np.ndarray, pos: np.ndarray
+) -> np.ndarray:
+    """Mask of ids actually present in sorted_ids (pos = searchsorted result).
+
+    np.searchsorted alone maps a missing id to a *neighboring* row (or one
+    past the end), silently corrupting the packed problem; callers must drop
+    or reject the misses.
+    """
+    if len(sorted_ids) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    return (pos < len(sorted_ids)) & (
+        sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == ids
+    )
+
+
 def pose_problem_from_colmap(
     model: ColmapModel,
     camera_limit: Optional[int] = None,
     dtype=jnp.float32,
     pad_multiple: int = 256,
-) -> PoseProblem:
+) -> Tuple[PoseProblem, ProblemMeta]:
     """Pack per-image PnP problems from a COLMAP model (vectorized).
 
     Replaces the reference's per-camera Python extraction + padding loops
@@ -168,8 +184,12 @@ def pose_problem_from_colmap(
         xy = xy[sel]
         pid = p3d_ids[sel]
         pos = np.searchsorted(sorted_ids, pid)
-        per_cam_xy.append(xy)
-        per_cam_xyz.append(xyz_sorted[pos])
+        # An observation may reference a point3D id absent from points3D.bin
+        # (corrupt or partially-filtered model); searchsorted would silently
+        # map it to a neighboring point. Drop such observations instead.
+        matched = _searchsorted_hits(sorted_ids, pid, pos)
+        per_cam_xy.append(xy[matched])
+        per_cam_xyz.append(xyz_sorted[pos[matched]])
 
     max_n = bucket_size(max((len(x) for x in per_cam_xy), default=1), pad_multiple)
     B = len(rows)
@@ -205,7 +225,7 @@ def ba_problem_from_colmap(
     min_track_len: int = 2,
     dtype=jnp.float32,
     pad_multiple: int = 1024,
-) -> BAProblem:
+) -> Tuple[BAProblem, ProblemMeta]:
     """Pack a flat-observation BA problem from a COLMAP model.
 
     One vectorized pass reproducing the semantics of the reference's
@@ -233,6 +253,12 @@ def ba_problem_from_colmap(
     uv = np.concatenate(xy_chunks) if xy_chunks else np.zeros((0, 2))
     pids = np.concatenate(pid_chunks) if pid_chunks else np.zeros(0, np.int64)
 
+    # Drop observations referencing point3D ids absent from points3D.bin
+    # (corrupt/partially-filtered model) before any index math.
+    all_sorted = np.sort(np.asarray(model.points.ids))
+    present = _searchsorted_hits(all_sorted, pids, np.searchsorted(all_sorted, pids))
+    cam_idx, uv, pids = cam_idx[present], uv[present], pids[present]
+
     # Keep points with sufficient track length among selected obs.
     uniq, inverse, counts = np.unique(pids, return_inverse=True, return_counts=True)
     keep_point = counts >= min_track_len
@@ -243,7 +269,6 @@ def ba_problem_from_colmap(
     kept_ids = uniq[keep_point]
     pt_idx = np.searchsorted(kept_ids, pids).astype(np.int32)
 
-    all_sorted = np.sort(np.asarray(model.points.ids))
     order = np.argsort(np.asarray(model.points.ids))
     xyz_rows = np.asarray(model.points.xyz)[order][np.searchsorted(all_sorted, kept_ids)]
 
