@@ -12,9 +12,9 @@ from tpu3drecon.solvers.ba_grid import ba_solve_grid, grid_blocks
 from tpu3drecon.solvers.bundle_adjust import BAConfig, ba_solve, reprojection_rmse
 
 
-@pytest.fixture(scope="module")
-def flat_problem():
-    scene = make_scene(n_cameras=8, n_points=300, seed=7)
+@pytest.fixture(scope="module", params=[(0.0, 0.0), (-0.08, 0.012)], ids=["pinhole", "radial"])
+def flat_problem(request):
+    scene = make_scene(n_cameras=8, n_points=300, seed=7, dist=request.param)
     noisy = perturb_scene(scene, seed=8, point2d_noise=0.0)
     problem, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
     return problem
@@ -49,12 +49,12 @@ class TestGridBlocks:
         cams = flat_problem.cameras
         inv_w = 1.0 / flat_problem.avg_cam_width
         flat = gather_obs_blocks(
-            cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+            cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
             flat_problem.points3d, flat_problem.cam_idx, flat_problem.pt_idx,
             flat_problem.uv, flat_problem.mask, inv_w, loss,
         )
         grid = grid_blocks(
-            cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+            cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
             grid_problem.points3d, grid_problem, loss,
         )
         # Compare per-(cam, uv) — the grid reorders obs within each camera.

@@ -105,6 +105,34 @@ def test_problem_packs_and_solves(bal_file):
     assert rmse1 < 0.05 * rmse0
 
 
+def test_distorted_bal_loader_and_solve(tmp_path):
+    """Nonzero (k1, k2): loader must hit ~0 residual at GT and the solver must
+    recover perturbed geometry against the distorted observations."""
+    cam_idx, pt_idx, uv, cam_params, points = _make_bal_scene(
+        seed=88, k1k2=(-0.12, 0.02)
+    )
+    path = tmp_path / "distorted.txt"
+    write_bal(str(path), cam_idx, pt_idx, uv, cam_params, points)
+    problem, meta = ba_problem_from_bal(str(path), dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(problem.cameras.dist[0]), [-0.12, 0.02])
+    rmse_gt = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
+    assert rmse_gt < 1e-9, f"distorted model mismatch at GT: rmse={rmse_gt}"
+
+    rng = np.random.default_rng(9)
+    pts0 = jnp.asarray(
+        np.asarray(problem.points3d) + rng.normal(size=problem.points3d.shape) * 0.01
+    )
+    problem_noisy = dataclasses.replace(problem, points3d=pts0)
+    config = BAConfig(maxiter=40, gtol=1e-12, cg_rtol=1e-8, optimize_focal=False)
+    cams, pts, state = ba_solve(problem_noisy, config)
+    rmse0 = float(reprojection_rmse(problem_noisy, problem_noisy.cameras, pts0))
+    rmse1 = float(reprojection_rmse(problem_noisy, cams, pts))
+    assert rmse1 < 0.02 * rmse0
+    # The recovered points must return to the true (distortion-generating)
+    # points: cameras start at GT and damping keeps gauge drift negligible.
+    np.testing.assert_allclose(np.asarray(pts), points, atol=1e-4)
+
+
 def test_corrupt_bal_clear_error(tmp_path):
     bad = tmp_path / "bad.txt"
     bad.write_text("3 2 1\n0 0 1.0")

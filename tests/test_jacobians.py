@@ -1,7 +1,8 @@
 """Analytic Jacobian blocks vs jax.jacfwd AD oracle.
 
 The implicit-Schur BA solver's correctness rests entirely on these blocks,
-so they are pinned against forward-mode AD of the same perturbation model.
+so they are pinned against forward-mode AD of the same perturbation model —
+for both the pinhole and radial-distortion (k1, k2) projection.
 """
 
 import jax
@@ -14,8 +15,11 @@ from tpu3drecon.geometry.losses import RobustLoss
 from tpu3drecon.geometry.rotations import rodrigues_to_matrix
 from tpu3drecon.ops.jacobians import apply_se3_retraction, gather_obs_blocks, obs_blocks
 
+PINHOLE = (0.0, 0.0)
+RADIAL = (-0.12, 0.02)  # strong but realistic barrel + quartic term
 
-def make_obs(rng, loss=RobustLoss.TRIVIAL):
+
+def make_obs(rng, dist=PINHOLE):
     rmat = jnp.array(Rotation.random(random_state=np.random.RandomState(5)).as_matrix())
     tvec = jnp.array(rng.normal(size=3))
     # Make sure the point is in front of the camera.
@@ -23,27 +27,32 @@ def make_obs(rng, loss=RobustLoss.TRIVIAL):
     xyz = rmat.T @ (xyz_cam - tvec)
     fx_fy = jnp.array([1100.0, 1080.0])
     ccs = jnp.array([640.0, 480.0, 0.3])
-    uv_true = _project(rmat, tvec, fx_fy, ccs, xyz)
+    dist = jnp.asarray(dist, jnp.float64)
+    uv_true = _project(rmat, tvec, fx_fy, ccs, dist, xyz)
     uv = uv_true + jnp.array(rng.normal(scale=2.0, size=2))
-    return rmat, tvec, fx_fy, ccs, xyz, uv
+    return rmat, tvec, fx_fy, ccs, dist, xyz, uv
 
 
-def _project(rmat, tvec, fx_fy, ccs, xyz):
+def _project(rmat, tvec, fx_fy, ccs, dist, xyz):
+    """Independent projection oracle: perspective divide + polynomial radial."""
     xc = rmat @ xyz + tvec
+    m = xc[:2] / xc[2]
+    r2 = jnp.dot(m, m)
+    md = (1.0 + dist[0] * r2 + dist[1] * r2 * r2) * m
     return jnp.array(
         [
-            fx_fy[0] * xc[0] / xc[2] + ccs[2] * xc[1] / xc[2] + ccs[0],
-            fx_fy[1] * xc[1] / xc[2] + ccs[1],
+            fx_fy[0] * md[0] + ccs[2] * md[1] + ccs[0],
+            fx_fy[1] * md[1] + ccs[1],
         ]
     )
 
 
-def residual_of_perturbation(rmat, tvec, fx_fy, ccs, xyz, uv, mask, inv_w, loss):
+def residual_of_perturbation(rmat, tvec, fx_fy, ccs, dist, xyz, uv, mask, inv_w, loss):
     """r as a function of (cam_delta(8), pt_delta(3)) — the AD oracle for the
     left-multiplicative SE(3) perturbation, with IRLS weight frozen exactly as
     obs_blocks freezes it (weight evaluated at the unperturbed residual)."""
 
-    r0 = _project(rmat, tvec, fx_fy, ccs, xyz) - uv
+    r0 = _project(rmat, tvec, fx_fy, ccs, dist, xyz) - uv
     s0 = jnp.dot(r0, r0)
     from tpu3drecon.geometry.losses import robust_weight
 
@@ -54,39 +63,46 @@ def residual_of_perturbation(rmat, tvec, fx_fy, ccs, xyz, uv, mask, inv_w, loss)
         new_r = dr @ rmat
         new_t = dr @ tvec + cam_delta[3:6]
         new_f = fx_fy + cam_delta[6:8]
-        r = _project(new_r, new_t, new_f, ccs, xyz + pt_delta) - uv
+        r = _project(new_r, new_t, new_f, ccs, dist, xyz + pt_delta) - uv
         return r * jnp.sqrt(w) * mask * inv_w
 
     return fn
 
 
 @pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY])
+@pytest.mark.parametrize("dist", [PINHOLE, RADIAL], ids=["pinhole", "radial"])
 class TestObsBlocks:
-    def test_residual_matches(self, rng, loss):
-        rmat, tvec, fx_fy, ccs, xyz, uv = make_obs(rng)
+    def test_residual_matches(self, rng, loss, dist):
+        rmat, tvec, fx_fy, ccs, dst, xyz, uv = make_obs(rng, dist)
         inv_w = jnp.asarray(1e-3)
-        blocks = obs_blocks(rmat, tvec, fx_fy, ccs, xyz, uv, jnp.asarray(1.0), inv_w, loss)
+        blocks = obs_blocks(
+            rmat, tvec, fx_fy, ccs, dst, xyz, uv, jnp.asarray(1.0), inv_w, loss
+        )
         oracle = residual_of_perturbation(
-            rmat, tvec, fx_fy, ccs, xyz, uv, 1.0, inv_w, loss
+            rmat, tvec, fx_fy, ccs, dst, xyz, uv, 1.0, inv_w, loss
         )
         np.testing.assert_allclose(
             np.array(blocks.residual), np.array(oracle(jnp.zeros(8), jnp.zeros(3))), atol=1e-12
         )
 
-    def test_jacobian_blocks_match_ad(self, rng, loss):
-        rmat, tvec, fx_fy, ccs, xyz, uv = make_obs(rng)
+    def test_jacobian_blocks_match_ad(self, rng, loss, dist):
+        rmat, tvec, fx_fy, ccs, dst, xyz, uv = make_obs(rng, dist)
         inv_w = jnp.asarray(1e-3)
-        blocks = obs_blocks(rmat, tvec, fx_fy, ccs, xyz, uv, jnp.asarray(1.0), inv_w, loss)
-        oracle = residual_of_perturbation(rmat, tvec, fx_fy, ccs, xyz, uv, 1.0, inv_w, loss)
+        blocks = obs_blocks(
+            rmat, tvec, fx_fy, ccs, dst, xyz, uv, jnp.asarray(1.0), inv_w, loss
+        )
+        oracle = residual_of_perturbation(
+            rmat, tvec, fx_fy, ccs, dst, xyz, uv, 1.0, inv_w, loss
+        )
         j_cam_ad = jax.jacfwd(oracle, argnums=0)(jnp.zeros(8), jnp.zeros(3))
         j_pt_ad = jax.jacfwd(oracle, argnums=1)(jnp.zeros(8), jnp.zeros(3))
         np.testing.assert_allclose(np.array(blocks.j_cam), np.array(j_cam_ad), atol=1e-8)
         np.testing.assert_allclose(np.array(blocks.j_pt), np.array(j_pt_ad), atol=1e-8)
 
-    def test_masked_obs_all_zero(self, rng, loss):
-        rmat, tvec, fx_fy, ccs, xyz, uv = make_obs(rng)
+    def test_masked_obs_all_zero(self, rng, loss, dist):
+        rmat, tvec, fx_fy, ccs, dst, xyz, uv = make_obs(rng, dist)
         blocks = obs_blocks(
-            rmat, tvec, fx_fy, ccs, xyz, uv, jnp.asarray(0.0), jnp.asarray(1e-3), loss
+            rmat, tvec, fx_fy, ccs, dst, xyz, uv, jnp.asarray(0.0), jnp.asarray(1e-3), loss
         )
         assert np.all(np.array(blocks.residual) == 0)
         assert np.all(np.array(blocks.j_cam) == 0)
@@ -102,6 +118,7 @@ class TestGather:
         tvecs = jnp.array(rng.normal(size=(C, 3)))
         fx_fy = jnp.full((C, 2), 1000.0)
         ccs = jnp.tile(jnp.array([500.0, 400.0, 0.0]), (C, 1))
+        dist = jnp.array(rng.normal(scale=0.05, size=(C, 2)))
         # points in front of all cameras: near origin, cameras far away
         pts = jnp.array(rng.normal(scale=0.5, size=(P, 3)))
         tvecs = tvecs.at[:, 2].add(8.0)
@@ -112,7 +129,7 @@ class TestGather:
         inv_w = jnp.asarray(1e-3)
 
         out = gather_obs_blocks(
-            rmats, tvecs, fx_fy, ccs, pts, cam_idx, pt_idx, uv, mask, inv_w
+            rmats, tvecs, fx_fy, ccs, dist, pts, cam_idx, pt_idx, uv, mask, inv_w
         )
         for k in [0, 5, N - 1]:
             single = obs_blocks(
@@ -120,6 +137,7 @@ class TestGather:
                 tvecs[cam_idx[k]],
                 fx_fy[cam_idx[k]],
                 ccs[cam_idx[k]],
+                dist[cam_idx[k]],
                 pts[pt_idx[k]],
                 uv[k],
                 mask[k],
@@ -140,18 +158,19 @@ class TestRetraction:
         np.testing.assert_allclose(np.array(t2), np.array(tvecs), atol=1e-12)
         np.testing.assert_allclose(np.array(f2), np.array(fx_fy))
 
-    def test_retraction_consistent_with_linearization(self, rng):
+    @pytest.mark.parametrize("dist", [PINHOLE, RADIAL], ids=["pinhole", "radial"])
+    def test_retraction_consistent_with_linearization(self, rng, dist):
         # First-order: residual after retraction with small step ~= r + J.step
-        rmat, tvec, fx_fy, ccs, xyz, uv = make_obs(rng)
+        rmat, tvec, fx_fy, ccs, dst, xyz, uv = make_obs(rng, dist)
         inv_w = jnp.asarray(1e-3)
-        blocks = obs_blocks(rmat, tvec, fx_fy, ccs, xyz, uv, jnp.asarray(1.0), inv_w)
+        blocks = obs_blocks(rmat, tvec, fx_fy, ccs, dst, xyz, uv, jnp.asarray(1.0), inv_w)
         eps = 1e-6
         step = jnp.array(rng.normal(size=8)) * eps
         r2m, t2m, f2m = apply_se3_retraction(
             rmat[None], tvec[None], fx_fy[None], step[None]
         )
         r_new = obs_blocks(
-            r2m[0], t2m[0], f2m[0], ccs, xyz, uv, jnp.asarray(1.0), inv_w
+            r2m[0], t2m[0], f2m[0], ccs, dst, xyz, uv, jnp.asarray(1.0), inv_w
         ).residual
         pred = blocks.residual + blocks.j_cam @ step
         np.testing.assert_allclose(np.array(r_new), np.array(pred), atol=1e-10)

@@ -12,9 +12,9 @@ from tpu3drecon.problems.grid import grid_from_flat
 from tpu3drecon.solvers import ba_grid
 
 
-@pytest.fixture(scope="module")
-def grid():
-    scene = make_scene(n_cameras=4, n_points=150, seed=61)
+@pytest.fixture(scope="module", params=[(0.0, 0.0), (-0.08, 0.012)], ids=["pinhole", "radial"])
+def grid(request):
+    scene = make_scene(n_cameras=4, n_points=150, seed=61, dist=request.param)
     noisy = perturb_scene(scene, seed=62, point2d_noise=0.0)
     problem, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
     return grid_from_flat(problem)
@@ -33,12 +33,12 @@ def test_cam_normal_matches_grid_engine(grid, loss):
     inv_w = jnp.asarray(1.0, jnp.float32) / grid.avg_cam_width
 
     r_pl, jp_pl, jc_pl, u_pl, g_pl = cam_normal_fused(
-        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
         x_w, uv, grid.mask, inv_w, loss=loss, interpret=True,
     )
 
     blocks = ba_grid.grid_blocks(
-        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
         grid.points3d, grid, loss,
     )
     # Reference U/g from the XLA engine (undamped).
@@ -64,7 +64,7 @@ def test_masked_columns_contribute_zero(grid):
     inv_w = jnp.asarray(1.0, jnp.float32) / grid.avg_cam_width
     # Zero the mask entirely: everything must come out exactly 0.
     r_pl, jp_pl, jc_pl, u_pl, g_pl = cam_normal_fused(
-        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
         x_w, uv, jnp.zeros_like(grid.mask), inv_w, interpret=True,
     )
     assert float(jnp.abs(u_pl).max()) == 0.0
@@ -80,7 +80,7 @@ def test_point_normal_matches_grid_engine(grid):
     cams = grid.cameras
     lam = jnp.asarray(1e-3, jnp.float32)
     blocks = gb(
-        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew,
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
         grid.points3d, grid, RobustLoss.TRIVIAL,
     )
     nb = build_grid_normal(blocks, grid, lam)

@@ -47,7 +47,8 @@ def reproj_rmse(problem, cameras):
     from tpu3drecon.geometry.projection import project_points_batched
 
     proj = project_points_batched(
-        cameras.rmats, cameras.tvecs, cameras.fx_fy, cameras.cx_cy_skew, problem.points3d
+        cameras.rmats, cameras.tvecs, cameras.fx_fy, cameras.cx_cy_skew,
+        cameras.dist, problem.points3d,
     )
     err = np.array((proj - problem.points2d) * problem.mask[..., None])
     n = float(np.array(problem.mask).sum())
@@ -58,7 +59,7 @@ class TestPoseParamsPacking:
     def test_pack_unpack_round_trip(self, scene, noisy):
         problem, _ = scene_to_pose_problem(noisy, observed=scene, dtype=jnp.float64)
         params = pose_params_pack(problem.cameras)
-        cams = pose_params_unpack(params, problem.cameras.cx_cy_skew)
+        cams = pose_params_unpack(params, problem.cameras.cx_cy_skew, problem.cameras.dist)
         np.testing.assert_allclose(
             np.array(cams.rmats), np.array(problem.cameras.rmats), atol=1e-9
         )

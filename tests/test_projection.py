@@ -46,7 +46,7 @@ class TestProjection:
         pts = points_in_front(rng, rmat, tvec)
         ours = np.array(
             proj.project_points(
-                jnp.array(rmat), jnp.array(tvec), jnp.array(fx_fy), jnp.array(cx_cy_skew), jnp.array(pts)
+                jnp.array(rmat), jnp.array(tvec), jnp.array(fx_fy), jnp.array(cx_cy_skew), jnp.zeros(2), jnp.array(pts)
             )
         )
         ref = np.stack([numpy_project(K, rmat, tvec, p) for p in pts])
@@ -74,6 +74,7 @@ class TestProjection:
                 jnp.array(tvec),
                 jnp.array(fx_fy),
                 jnp.array(cx_cy_skew),
+                jnp.zeros(2),
                 jnp.array(pts),
                 jnp.array(obs),
                 jnp.array(mask),
@@ -92,6 +93,7 @@ class TestProjection:
                 jnp.array(tvec),
                 jnp.array(fx_fy),
                 jnp.array(cx_cy_skew),
+                jnp.zeros(2),
                 jnp.array(pts),
                 jnp.array(obs),
                 jnp.ones(10),
@@ -107,6 +109,40 @@ class TestProjection:
         ccs = np.zeros((B, 3))
         pts = rng.normal(size=(B, N, 3)) + np.array([0, 0, 5.0])
         out = proj.project_points_batched(
-            jnp.array(rmats), jnp.array(tvecs), jnp.array(fx_fy), jnp.array(ccs), jnp.array(pts)
+            jnp.array(rmats), jnp.array(tvecs), jnp.array(fx_fy), jnp.array(ccs), jnp.zeros((B, 2)), jnp.array(pts)
         )
         assert out.shape == (B, N, 2)
+
+
+    def test_radial_distortion_matches_oracle(self, rng):
+        rmat, tvec, fx_fy, cx_cy_skew, K = make_camera(rng)
+        pts = points_in_front(rng, rmat, tvec, n=50)
+        dist = np.array([-0.15, 0.03])
+        ours = np.array(
+            proj.project_points(
+                jnp.array(rmat), jnp.array(tvec), jnp.array(fx_fy),
+                jnp.array(cx_cy_skew), jnp.array(dist), jnp.array(pts)
+            )
+        )
+        # Independent numpy oracle with the same polynomial model.
+        xc = pts @ rmat.T + tvec
+        m = xc[:, :2] / xc[:, 2:3]
+        r2 = np.sum(m * m, axis=1, keepdims=True)
+        md = (1.0 + dist[0] * r2 + dist[1] * r2 * r2) * m
+        ref = np.stack(
+            [
+                fx_fy[0] * md[:, 0] + cx_cy_skew[2] * md[:, 1] + cx_cy_skew[0],
+                fx_fy[1] * md[:, 1] + cx_cy_skew[1],
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+        # And dist = 0 reduces exactly to the pinhole projection.
+        pin = np.array(
+            proj.project_points(
+                jnp.array(rmat), jnp.array(tvec), jnp.array(fx_fy),
+                jnp.array(cx_cy_skew), jnp.zeros(2), jnp.array(pts)
+            )
+        )
+        pin_ref = np.stack([numpy_project(K, rmat, tvec, p) for p in pts])
+        np.testing.assert_allclose(pin, pin_ref, atol=1e-9)

@@ -227,6 +227,7 @@ def plot_pose_cost_curve(
             problem.points3d[camera_index],
             problem.points2d[camera_index],
             problem.cameras.cx_cy_skew[camera_index],
+            problem.cameras.dist[camera_index],
             problem.mask[camera_index],
             problem.avg_cam_width,
         )

@@ -198,6 +198,7 @@ class JaxBundleAdjustment:
                 tvecs=cam_block[:, 3:6],
                 fx_fy=fx_fy,
                 cx_cy_skew=cx_cy_skew,
+                dist=jnp.zeros((n, 2), fx_fy.dtype),  # reference model is pinhole
             ),
             points3d=points3d,
             cam_idx=cam_idx,

@@ -53,6 +53,11 @@ class SyntheticScene:
     cam_idx: np.ndarray  # (N,) int32
     pt_idx: np.ndarray  # (N,) int32
     uv: np.ndarray  # (N, 2)
+    dist: Optional[np.ndarray] = None  # (C, 2) radial (k1, k2); None = pinhole
+
+    @property
+    def dist_or_zeros(self) -> np.ndarray:
+        return self.dist if self.dist is not None else np.zeros((self.n_cameras, 2))
 
     @property
     def n_cameras(self) -> int:
@@ -85,6 +90,7 @@ def make_scene(
     ring_radius: float = 10.0,
     cloud_radius: float = 2.0,
     seed: int = 0,
+    dist: Tuple[float, float] = (0.0, 0.0),
 ) -> SyntheticScene:
     """Cameras on a ring around a Gaussian point cloud, exact projections.
 
@@ -95,6 +101,7 @@ def make_scene(
     rng = np.random.default_rng(seed)
     w, h = image_size
     points = rng.normal(scale=cloud_radius / 2.0, size=(n_points, 3))
+    dist_rows = np.tile(np.asarray(dist, np.float64), (n_cameras, 1))
 
     rmats = np.zeros((n_cameras, 3, 3))
     tvecs = np.zeros((n_cameras, 3))
@@ -123,6 +130,8 @@ def make_scene(
         in_front = xyz_cam[:, 2] > 0.1
         pt_rows, xyz_cam = pt_rows[in_front], xyz_cam[in_front]
         xy = xyz_cam[:, :2] / xyz_cam[:, 2:3]
+        r2 = np.sum(xy * xy, axis=1, keepdims=True)
+        xy = (1.0 + dist_rows[c, 0] * r2 + dist_rows[c, 1] * r2 * r2) * xy
         u = fx_fy[c, 0] * xy[:, 0] + cx_cy_skew[c, 2] * xy[:, 1] + cx_cy_skew[c, 0]
         v = fx_fy[c, 1] * xy[:, 1] + cx_cy_skew[c, 1]
         uv = np.stack([u, v], axis=1)
@@ -142,6 +151,7 @@ def make_scene(
         cam_idx=np.concatenate(cam_chunks),
         pt_idx=np.concatenate(pt_chunks),
         uv=np.concatenate(uv_chunks),
+        dist=dist_rows,
     )
 
 
@@ -203,6 +213,7 @@ def scene_to_ba_problem(
             tvecs=jnp.asarray(scene.tvecs, dtype),
             fx_fy=jnp.asarray(scene.fx_fy, dtype),
             cx_cy_skew=jnp.asarray(scene.cx_cy_skew, dtype),
+            dist=jnp.asarray(scene.dist_or_zeros, dtype),
         ),
         points3d=jnp.asarray(scene.points3d, dtype),
         cam_idx=jnp.asarray(np.concatenate([obs.cam_idx, np.zeros(pad, np.int32)])),
@@ -248,6 +259,7 @@ def scene_to_pose_problem(
             tvecs=jnp.asarray(scene.tvecs, dtype),
             fx_fy=jnp.asarray(scene.fx_fy, dtype),
             cx_cy_skew=jnp.asarray(scene.cx_cy_skew, dtype),
+            dist=jnp.asarray(scene.dist_or_zeros, dtype),
         ),
         points3d=jnp.asarray(pts3, dtype),
         points2d=jnp.asarray(pts2, dtype),

@@ -124,6 +124,7 @@ def ba_problem_from_bal(
             tvecs=jnp.asarray(tvecs, dtype),
             fx_fy=jnp.asarray(np.stack([focals, focals], axis=1), dtype),
             cx_cy_skew=jnp.zeros((n_cams, 3), dtype),  # BAL: centered pixels
+            dist=jnp.asarray(cam_params[:, 7:9], dtype),  # (k1, k2)
         ),
         points3d=jnp.asarray(points, dtype),
         cam_idx=jnp.asarray(np.concatenate([cam_idx, np.zeros(pad, np.int32)])),

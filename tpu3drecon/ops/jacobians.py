@@ -44,6 +44,7 @@ def obs_blocks(
     tvec: jax.Array,  # (3,)
     fx_fy: jax.Array,  # (2,)
     cx_cy_skew: jax.Array,  # (3,)
+    dist: jax.Array,  # (2,) radial (k1, k2) on normalized coords; (0,0) = pinhole
     xyz: jax.Array,  # (3,) 3D point (world)
     uv: jax.Array,  # (2,) observation
     mask: jax.Array,  # () 1.0 real / 0.0 padding
@@ -55,6 +56,11 @@ def obs_blocks(
     Whitening sqrt(w(s)) * mask * inv_width multiplies both the residual and
     the J rows, so masked (padding) rows contribute exact zeros to r, g, and
     every JtJ block.
+
+    Radial distortion enters the chain rule as the 2x2 factor
+        A = s I + (2 k1 + 4 k2 r^2) m m^T,   s = 1 + k1 r^2 + k2 r^4,
+    between the intrinsics K2 and the perspective-divide Jacobian dm/dX_c;
+    dist = (0, 0) makes A = I and recovers the pure pinhole blocks exactly.
     """
     dtype = xyz.dtype
     xc = rmat @ xyz + tvec  # camera-frame point
@@ -64,26 +70,45 @@ def obs_blocks(
     inv_z = 1.0 / z_safe
     fx, fy = fx_fy[0], fx_fy[1]
     skew = cx_cy_skew[2]
+    k1, k2 = dist[0], dist[1]
 
-    u = fx * x * inv_z + skew * y * inv_z + cx_cy_skew[0]
-    v = fy * y * inv_z + cx_cy_skew[1]
+    mx, my = x * inv_z, y * inv_z
+    r2 = mx * mx + my * my
+    s_rad = 1.0 + k1 * r2 + k2 * r2 * r2
+    g_rad = 2.0 * k1 + 4.0 * k2 * r2
+    mdx, mdy = s_rad * mx, s_rad * my
+
+    u = fx * mdx + skew * mdy + cx_cy_skew[0]
+    v = fy * mdy + cx_cy_skew[1]
     r = jnp.stack([u, v]) - uv
 
     s = jnp.dot(r, r)
     w = robust_weight(loss, jax.lax.stop_gradient(s))
     scale = jnp.sqrt(w) * mask * inv_width
 
-    # dpi/dX_c (2x3) for pinhole with skew.
-    zero = jnp.zeros((), dtype)
+    # d m'/dX_c = A @ dm/dX_c with A = s I + g m m^T and
+    # dm/dX_c = [[iz, 0, -mx iz], [0, iz, -my iz]].
+    a00 = s_rad + g_rad * mx * mx
+    a01 = g_rad * mx * my
+    a11 = s_rad + g_rad * my * my
+    b00 = a00 * inv_z
+    b01 = a01 * inv_z
+    b02 = -(a00 * mx + a01 * my) * inv_z
+    b10 = a01 * inv_z
+    b11 = a11 * inv_z
+    b12 = -(a01 * mx + a11 * my) * inv_z
+    # dpi/dX_c = K2 @ dm'/dX_c (2x3); row 2 gains a nonzero first entry when
+    # distortion couples the axes.
     dpi = jnp.array(
         [
-            [fx * inv_z, skew * inv_z, -(fx * x + skew * y) * inv_z * inv_z],
-            [zero, fy * inv_z, -fy * y * inv_z * inv_z],
+            [fx * b00 + skew * b10, fx * b01 + skew * b11, fx * b02 + skew * b12],
+            [fy * b10, fy * b11, fy * b12],
         ]
     )
 
     # Camera blocks under left-mult SE(3) perturbation:
     #   dX_c/d delta = -[X_c]_x,  dX_c/d dt = I.
+    zero = jnp.zeros((), dtype)
     neg_skew_xc = jnp.array(
         [
             [zero, z, -y],
@@ -93,8 +118,8 @@ def obs_blocks(
     )  # == -[X_c]_x
     j_rot = dpi @ neg_skew_xc  # (2,3)
     j_t = dpi  # (2,3)
-    # Focal block: du/dfx = x/z, dv/dfy = y/z.
-    j_f = jnp.array([[x * inv_z, zero], [zero, y * inv_z]])
+    # Focal block: du/dfx = m'_x, dv/dfy = m'_y.
+    j_f = jnp.array([[mdx, zero], [zero, mdy]])
     j_cam = jnp.concatenate([j_rot, j_t, j_f], axis=1)  # (2,8)
 
     # Point block: dX_c/dX = R.
@@ -108,6 +133,7 @@ def gather_obs_blocks(
     tvecs: jax.Array,  # (C,3)
     fx_fy: jax.Array,  # (C,2)
     cx_cy_skew: jax.Array,  # (C,3)
+    dist: jax.Array,  # (C,2)
     points3d: jax.Array,  # (P,3)
     cam_idx: jax.Array,  # (N,)
     pt_idx: jax.Array,  # (N,)
@@ -117,12 +143,13 @@ def gather_obs_blocks(
     loss: RobustLoss = RobustLoss.TRIVIAL,
 ) -> ObsBlocks:
     """Vectorized blocks for a flat observation list (gathers by index)."""
-    fn = jax.vmap(obs_blocks, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    fn = jax.vmap(obs_blocks, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None))
     return fn(
         rmats[cam_idx],
         tvecs[cam_idx],
         fx_fy[cam_idx],
         cx_cy_skew[cam_idx],
+        dist[cam_idx],
         points3d[pt_idx],
         uv,
         mask,

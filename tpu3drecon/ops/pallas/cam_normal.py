@@ -16,7 +16,7 @@ U and every CG matvec.  Here its planes live in registers/VMEM only, and the
 
 Inputs use component-major planes with K on the lane axis (K multiple of
 128), camera parameters ride along as an (C, 24) SMEM row:
-  [R row-major 9 | t 3 | fx fy 2 | cx cy skew 3 | inv_width 1 | pad].
+  [R row-major 9 | t 3 | fx fy 2 | cx cy skew 3 | inv_width 1 | k1 k2 2 | pad].
 
 Correctness is pinned against the XLA grid engine in
 tests/test_pallas_kernels.py (interpret mode on CPU; compiled on TPU).
@@ -37,7 +37,7 @@ from tpu3drecon.geometry.losses import RobustLoss
 PARAM_WIDTH = 24
 
 
-def pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width) -> jax.Array:
+def pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width, dist) -> jax.Array:
     """(C, 24) parameter rows for the kernel."""
     c = rmats.shape[0]
     dtype = rmats.dtype
@@ -48,6 +48,7 @@ def pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width) -> jax.Array:
             fx_fy,
             cx_cy_skew,
             jnp.full((c, 1), inv_width, dtype),
+            dist.astype(dtype),
         ],
         axis=1,
     )
@@ -80,6 +81,7 @@ def _cam_normal_kernel(
     fx, fy = p(12), p(13)
     cx, cy, sk = p(14), p(15), p(16)
     inv_w = p(17)
+    k1, k2 = p(18), p(19)
 
     xw0 = xw_ref[0, 0, :]
     xw1 = xw_ref[0, 1, :]
@@ -92,10 +94,19 @@ def _cam_normal_kernel(
     z = r20 * xw0 + r21 * xw1 + r22 * xw2 + t2
     z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.ones_like(z), z)
     iz = 1.0 / z_safe
-    iz2 = iz * iz
 
-    u_px = fx * x * iz + sk * y * iz + cx
-    v_px = fy * y * iz + cy
+    # Radial distortion on normalized coords (same math as ops/jacobians.py):
+    # m' = s m, s = 1 + k1 r^2 + k2 r^4;  dm'/dm = s I + g m m^T.
+    mx = x * iz
+    my = y * iz
+    rr2 = mx * mx + my * my
+    s_rad = 1.0 + k1 * rr2 + k2 * rr2 * rr2
+    g_rad = 2.0 * k1 + 4.0 * k2 * rr2
+    mdx = s_rad * mx
+    mdy = s_rad * my
+
+    u_px = fx * mdx + sk * mdy + cx
+    v_px = fy * mdy + cy
     r0 = u_px - uv_ref[0, 0, :]
     r1 = v_px - uv_ref[0, 1, :]
     s = r0 * r0 + r1 * r1
@@ -105,11 +116,22 @@ def _cam_normal_kernel(
         w = jnp.ones_like(s)
     scale = jnp.sqrt(w) * mask * inv_w
 
-    a11 = fx * iz
-    a12 = sk * iz
-    a13 = -(fx * x + sk * y) * iz2
-    a22 = fy * iz
-    a23 = -fy * y * iz2
+    axx = s_rad + g_rad * mx * mx
+    axy = g_rad * mx * my
+    ayy = s_rad + g_rad * my * my
+    b00 = axx * iz
+    b01 = axy * iz
+    b02 = -(axx * mx + axy * my) * iz
+    b10 = axy * iz
+    b11 = ayy * iz
+    b12 = -(axy * mx + ayy * my) * iz
+
+    a11 = fx * b00 + sk * b10
+    a12 = fx * b01 + sk * b11
+    a13 = fx * b02 + sk * b12
+    a21 = fy * b10
+    a22 = fy * b11
+    a23 = fy * b12
     zero = jnp.zeros_like(a11)
 
     # Whitened camera-Jacobian planes (held in registers only).
@@ -120,27 +142,27 @@ def _cam_normal_kernel(
         a11 * scale,
         a12 * scale,
         a13 * scale,
-        (x * iz) * scale,
+        mdx * scale,
         zero,
     ]
     jc_r1 = [
         (-a22 * z + a23 * y) * scale,
-        (-a23 * x) * scale,
-        (a22 * x) * scale,
-        zero,
+        (a21 * z - a23 * x) * scale,
+        (-a21 * y + a22 * x) * scale,
+        a21 * scale,
         a22 * scale,
         a23 * scale,
         zero,
-        (y * iz) * scale,
+        mdy * scale,
     ]
 
     # Whitened point-Jacobian planes: dpi @ R.
     jp00 = (a11 * r00 + a12 * r10 + a13 * r20) * scale
     jp01 = (a11 * r01 + a12 * r11 + a13 * r21) * scale
     jp02 = (a11 * r02 + a12 * r12 + a13 * r22) * scale
-    jp10 = (a22 * r10 + a23 * r20) * scale
-    jp11 = (a22 * r11 + a23 * r21) * scale
-    jp12 = (a22 * r12 + a23 * r22) * scale
+    jp10 = (a21 * r00 + a22 * r10 + a23 * r20) * scale
+    jp11 = (a21 * r01 + a22 * r11 + a23 * r21) * scale
+    jp12 = (a21 * r02 + a22 * r12 + a23 * r22) * scale
 
     rw0 = r0 * scale
     rw1 = r1 * scale
@@ -182,6 +204,7 @@ def cam_normal_fused(
     tvecs: jax.Array,  # (C, 3)
     fx_fy: jax.Array,  # (C, 2)
     cx_cy_skew: jax.Array,  # (C, 3)
+    dist: jax.Array,  # (C, 2) radial (k1, k2)
     x_w: jax.Array,  # (C, 3, K) grid-gathered world points (planes)
     uv: jax.Array,  # (C, 2, K) observation planes
     mask: jax.Array,  # (C, K)
@@ -192,7 +215,7 @@ def cam_normal_fused(
     """Returns (r (C,2,K), jp (C,6,K), jc (C,16,K), U (C,8,8), g (C,8))."""
     c, _, k = x_w.shape
     dtype = x_w.dtype
-    params = pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width)
+    params = pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width, dist)
 
     kernel = functools.partial(
         _cam_normal_kernel, cauchy=(loss == RobustLoss.CAUCHY)

@@ -29,7 +29,7 @@ def _problem_in_specs(axis_name: str) -> BAProblem:
     """PartitionSpecs matching shard_ba_problem's placement."""
     return BAProblem(
         cameras=CameraParams(
-            rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P()
+            rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P(), dist=P()
         ),
         points3d=P(),
         cam_idx=P(axis_name),
@@ -58,7 +58,7 @@ def make_sharded_ba_solver(
         mesh=mesh,
         in_specs=(_problem_in_specs(axis_name),),
         out_specs=(
-            CameraParams(rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P()),
+            CameraParams(rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P(), dist=P()),
             P(),
             BAState(
                 rmats=P(), tvecs=P(), fx_fy=P(), points3d=P(), loss=P(),

@@ -44,6 +44,7 @@ def shard_pose_problem(
             tvecs=put(problem.cameras.tvecs, batch),
             fx_fy=put(problem.cameras.fx_fy, batch),
             cx_cy_skew=put(problem.cameras.cx_cy_skew, batch),
+            dist=put(problem.cameras.dist, batch),
         ),
         points3d=put(problem.points3d, batch),
         points2d=put(problem.points2d, batch),
@@ -66,20 +67,24 @@ def refine_poses_sharded(
 
     res_fn = functools.partial(pose_residuals_per_axis, loss=loss)
 
-    def solve_one(params0, points3d, points2d, cx_cy_skew, mask, norm):
+    def solve_one(params0, points3d, points2d, cx_cy_skew, dist, mask, norm):
         return lm_solve(
-            res_fn, params0, points3d, points2d, cx_cy_skew, mask, norm,
+            res_fn, params0, points3d, points2d, cx_cy_skew, dist, mask, norm,
             config=config,
         )
 
-    solver = jax.jit(jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, None)))
+    solver = jax.jit(jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, 0, None)))
     params0 = pose_params_pack(placed.cameras)
     params, state = solver(
         params0,
         placed.points3d,
         placed.points2d,
         placed.cameras.cx_cy_skew,
+        placed.cameras.dist,
         placed.mask,
         placed.avg_cam_width,
     )
-    return pose_params_unpack(params, placed.cameras.cx_cy_skew), state
+    return (
+        pose_params_unpack(params, placed.cameras.cx_cy_skew, placed.cameras.dist),
+        state,
+    )

@@ -44,6 +44,7 @@ def _camera_arrays(ds: Dataset, dtype):
         tvecs=jnp.asarray(tvecs, dtype),
         fx_fy=jnp.asarray(fx_fy, dtype),
         cx_cy_skew=jnp.asarray(ccs, dtype),
+        dist=jnp.zeros((n, 2), dtype),  # object model is pinhole (Camera.project)
     )
     return cams, widths
 

@@ -41,16 +41,28 @@ def bucket_size(n: int, multiple: int = 256) -> int:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class CameraParams:
-    """Packed per-camera parameters (W2C extrinsics + pinhole intrinsics)."""
+    """Packed per-camera parameters (W2C extrinsics + intrinsics).
+
+    ``dist = (k1, k2)`` is the polynomial radial distortion on normalized
+    coordinates (BAL convention; COLMAP SIMPLE_RADIAL maps to (k, 0)); it is
+    frozen under optimization like cx/cy/skew.  Use
+    ``zero_distortion(n, dtype)`` for pinhole cameras.
+    """
 
     rmats: jax.Array  # (B, 3, 3)
     tvecs: jax.Array  # (B, 3)
     fx_fy: jax.Array  # (B, 2)
     cx_cy_skew: jax.Array  # (B, 3) frozen under optimization
+    dist: jax.Array  # (B, 2) frozen radial distortion (k1, k2)
 
     @property
     def n_cameras(self) -> int:
         return self.rmats.shape[0]
+
+
+def zero_distortion(n: int, dtype=jnp.float32) -> jax.Array:
+    """(n, 2) zero radial-distortion rows for pinhole cameras."""
+    return jnp.zeros((n, 2), dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -124,10 +136,16 @@ def _camera_arrays_from_model(
     qvecs = np.asarray(model.images.qvecs)[image_rows]
     tvecs = np.asarray(model.images.tvecs)[image_rows]
     intr = np.zeros((len(image_rows), 5))
+    dist = np.zeros((len(image_rows), 2))
     widths = np.zeros(len(image_rows))
     for k, row in enumerate(image_rows):
         cam = model.cameras[int(model.images.camera_ids[row])]
         intr[k] = cam.intrinsics_tuple()
+        # SIMPLE_RADIAL's k maps to (k, 0); RADIAL gives (k1, k2) — both are
+        # the same polynomial on normalized coords the solver applies
+        # (reference loader.py:32-41 ingests SIMPLE_RADIAL the same way).
+        d = cam.distortion_params()
+        dist[k, : min(2, len(d))] = d[:2]
         widths[k] = cam.width
     rmats = quat_to_matrix_batch(jnp.asarray(qvecs, dtype))
     cameras = CameraParams(
@@ -135,6 +153,7 @@ def _camera_arrays_from_model(
         tvecs=jnp.asarray(tvecs, dtype),
         fx_fy=jnp.asarray(intr[:, :2], dtype),
         cx_cy_skew=jnp.asarray(intr[:, 2:], dtype),
+        dist=jnp.asarray(dist, dtype),
     )
     return cameras, widths, np.asarray(model.images.image_ids)[image_rows]
 

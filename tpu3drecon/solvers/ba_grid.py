@@ -44,57 +44,80 @@ def grid_blocks(
     tvecs: jax.Array,
     fx_fy: jax.Array,
     cx_cy_skew: jax.Array,
+    dist: jax.Array,
     points3d: jax.Array,
     problem: BAGridProblem,
     loss: RobustLoss,
 ) -> GridBlocks:
     """Residual + Jacobian planes over the (C, K) grid (scalar-plane math;
-    same formulas as ops/jacobians.obs_blocks, verified equal in tests)."""
+    same formulas as ops/jacobians.obs_blocks — incl. the radial-distortion
+    chain factor A = s I + g m m^T — verified equal in tests)."""
     dtype = points3d.dtype
     x_w = points3d[problem.pt_idx]  # (C, K, 3) gather
     xc = jnp.einsum("cij,ckj->cki", rmats, x_w) + tvecs[:, None, :]
     x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
     iz = 1.0 / z_safe
-    iz2 = iz * iz
     fx = fx_fy[:, 0:1]
     fy = fx_fy[:, 1:2]
     cx = cx_cy_skew[:, 0:1]
     cy = cx_cy_skew[:, 1:2]
     sk = cx_cy_skew[:, 2:3]
+    k1 = dist[:, 0:1]
+    k2 = dist[:, 1:2]
 
-    u = fx * x * iz + sk * y * iz + cx
-    v = fy * y * iz + cy
+    mx = x * iz
+    my = y * iz
+    r2 = mx * mx + my * my
+    s_rad = 1.0 + k1 * r2 + k2 * r2 * r2
+    g_rad = 2.0 * k1 + 4.0 * k2 * r2
+    mdx = s_rad * mx
+    mdy = s_rad * my
+
+    u = fx * mdx + sk * mdy + cx
+    v = fy * mdy + cy
     r = jnp.stack([u, v], axis=-1) - problem.uv
     s = jnp.sum(r * r, axis=-1)
     w = robust_weight(loss, jax.lax.stop_gradient(s))
     scale = jnp.sqrt(w) * problem.mask * (1.0 / problem.avg_cam_width)
 
-    # dpi/dX_c entries as planes.
-    a11 = fx * iz
-    a12 = sk * iz
-    a13 = -(fx * x + sk * y) * iz2
-    a22 = fy * iz
-    a23 = -fy * y * iz2
-    zero = jnp.zeros_like(a11)
+    # dm'/dX_c = A @ dm/dX_c as planes (A = s I + g m m^T).
+    axx = s_rad + g_rad * mx * mx
+    axy = g_rad * mx * my
+    ayy = s_rad + g_rad * my * my
+    b00 = axx * iz
+    b01 = axy * iz
+    b02 = -(axx * mx + axy * my) * iz
+    b10 = axy * iz
+    b11 = ayy * iz
+    b12 = -(axy * mx + ayy * my) * iz
+
+    # dpi/dX_c = K2 @ dm'/dX_c entries as planes.
+    a11 = fx * b00 + sk * b10
+    a12 = fx * b01 + sk * b11
+    a13 = fx * b02 + sk * b12
+    a21 = fy * b10
+    a22 = fy * b11
+    a23 = fy * b12
 
     # J_rot = dpi @ (-[X_c]_x)  (expanded by hand).
     jr00 = -a12 * z + a13 * y
     jr01 = a11 * z - a13 * x
     jr02 = -a11 * y + a12 * x
     jr10 = -a22 * z + a23 * y
-    jr11 = -a23 * x
-    jr12 = a22 * x
+    jr11 = a21 * z - a23 * x
+    jr12 = -a21 * y + a22 * x
 
-    # J_f.
-    jf00 = x * iz
-    jf11 = y * iz
+    # J_f: du/dfx = m'_x, dv/dfy = m'_y.
+    jf00 = mdx
+    jf11 = mdy
+    zero = jnp.zeros_like(a11)
 
     # Row-major camera block planes: (C, K, 2, 8).
     jc = jnp.stack(
         [
             jnp.stack([jr00, jr01, jr02, a11, a12, a13, jf00, zero], axis=-1),
-            jnp.stack([jr10, jr11, jr12, zero, a22, a23, zero, jf11], axis=-1),
+            jnp.stack([jr10, jr11, jr12, a21, a22, a23, zero, jf11], axis=-1),
         ],
         axis=-2,
     )
@@ -103,7 +126,7 @@ def grid_blocks(
     dpi = jnp.stack(
         [
             jnp.stack([a11, a12, a13], axis=-1),
-            jnp.stack([zero, a22, a23], axis=-1),
+            jnp.stack([a21, a22, a23], axis=-1),
         ],
         axis=-2,
     )  # (C, K, 2, 3)
@@ -259,7 +282,8 @@ def _ba_solve_grid_impl(problem, config):
 
     def blocks_for(rmats, tvecs, fx_fy, points3d):
         b = grid_blocks(
-            rmats, tvecs, fx_fy, cams.cx_cy_skew, points3d, problem, config.loss
+            rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist, points3d,
+            problem, config.loss,
         )
         jc, jp = b.jc, b.jp
         if not config.optimize_focal:
@@ -366,6 +390,7 @@ def _ba_solve_grid_impl(problem, config):
         tvecs=final.tvecs,
         fx_fy=final.fx_fy,
         cx_cy_skew=cams.cx_cy_skew,
+        dist=cams.dist,
     )
     return cameras_out, final.points3d, final
 

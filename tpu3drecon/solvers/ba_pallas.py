@@ -81,7 +81,7 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
     r, jp, jc, u0, g_cam = cam_normal_fused(
-        rmats, tvecs, fx_fy, problem.cameras.cx_cy_skew,
+        rmats, tvecs, fx_fy, problem.cameras.cx_cy_skew, problem.cameras.dist,
         x_w, uv, problem.mask, inv_w, loss=config.loss, interpret=interpret,
     )
     if not config.optimize_focal:
@@ -219,8 +219,15 @@ def _cost(params, problem, config: BAConfig) -> jax.Array:
     fx = fx_fy[:, 0:1]
     fy = fx_fy[:, 1:2]
     ccs = problem.cameras.cx_cy_skew
-    u = fx * xc[..., 0] * iz + ccs[:, 2:3] * xc[..., 1] * iz + ccs[:, 0:1]
-    v = fy * xc[..., 1] * iz + ccs[:, 1:2]
+    dist = problem.cameras.dist
+    mx = xc[..., 0] * iz
+    my = xc[..., 1] * iz
+    rr2 = mx * mx + my * my
+    s_rad = 1.0 + dist[:, 0:1] * rr2 + dist[:, 1:2] * rr2 * rr2
+    mdx = s_rad * mx
+    mdy = s_rad * my
+    u = fx * mdx + ccs[:, 2:3] * mdy + ccs[:, 0:1]
+    v = fy * mdy + ccs[:, 1:2]
     r = jnp.stack([u, v], axis=-1) - problem.uv
     s = jnp.sum(r * r, axis=-1)
     w = robust_weight(config.loss, jax.lax.stop_gradient(s))
@@ -287,7 +294,8 @@ def _ba_solve_pallas_impl(problem, config, interpret):
     )
     rmats, tvecs, fx_fy, points3d = final.params
     cameras_out = CameraParams(
-        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
+        dist=cams.dist,
     )
     state = BAState(
         rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, points3d=points3d,

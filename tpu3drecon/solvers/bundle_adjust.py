@@ -65,7 +65,7 @@ class BAState(NamedTuple):
 
 
 def _blocks_for(
-    rmats, tvecs, fx_fy, cx_cy_skew, points3d, problem: BAProblem, config: BAConfig
+    rmats, tvecs, fx_fy, cx_cy_skew, dist, points3d, problem: BAProblem, config: BAConfig
 ):
     # NOTE: blocks are per-observation (obs-local under sharding) — no
     # collective needed here; reductions happen in schur.build_normal_blocks.
@@ -75,6 +75,7 @@ def _blocks_for(
         tvecs,
         fx_fy,
         cx_cy_skew,
+        dist,
         points3d,
         problem.cam_idx,
         problem.pt_idx,
@@ -126,7 +127,8 @@ def _ba_solve_impl(
     dtype = problem.points3d.dtype
 
     r0, _, _ = _blocks_for(
-        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, problem.points3d, problem, config
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.cx_cy_skew, cams.dist,
+        problem.points3d, problem, config,
     )
 
     init = BAState(
@@ -154,6 +156,7 @@ def _ba_solve_impl(
             state.tvecs,
             state.fx_fy,
             cams.cx_cy_skew,
+            cams.dist,
             state.points3d,
             problem,
             config,
@@ -203,7 +206,7 @@ def _ba_solve_impl(
         new_pts = state.points3d + dp
 
         r_cand, _, _ = _blocks_for(
-            new_r, new_t, new_f, cams.cx_cy_skew, new_pts, problem, config
+            new_r, new_t, new_f, cams.cx_cy_skew, cams.dist, new_pts, problem, config
         )
         loss_cand = _loss_of(r_cand, axis_name)
 
@@ -260,6 +263,7 @@ def _ba_solve_impl(
         tvecs=final.tvecs,
         fx_fy=final.fx_fy,
         cx_cy_skew=cams.cx_cy_skew,
+        dist=cams.dist,
     )
     return cameras_out, final.points3d, final
 
@@ -285,6 +289,7 @@ def reprojection_rmse(problem: BAProblem, cameras: CameraParams, points3d: jax.A
         cameras.tvecs,
         cameras.fx_fy,
         cameras.cx_cy_skew,
+        cameras.dist,
         points3d,
         problem.cam_idx,
         problem.pt_idx,

@@ -45,13 +45,16 @@ def pose_params_pack(cameras: CameraParams) -> jax.Array:
     return jnp.concatenate([rvecs, cameras.tvecs, cameras.fx_fy], axis=1)
 
 
-def pose_params_unpack(params: jax.Array, cx_cy_skew: jax.Array) -> CameraParams:
-    """(B, 8) parameter vectors -> CameraParams (frozen cx/cy/skew carried)."""
+def pose_params_unpack(
+    params: jax.Array, cx_cy_skew: jax.Array, dist: jax.Array
+) -> CameraParams:
+    """(B, 8) parameter vectors -> CameraParams (frozen cx/cy/skew/dist)."""
     return CameraParams(
         rmats=rodrigues_to_matrix_batch(params[:, :3]),
         tvecs=params[:, 3:6],
         fx_fy=params[:, 6:8],
         cx_cy_skew=cx_cy_skew,
+        dist=dist,
     )
 
 
@@ -60,6 +63,7 @@ def pose_residuals_per_axis(
     points3d: jax.Array,
     points2d: jax.Array,
     cx_cy_skew: jax.Array,
+    dist: jax.Array,
     mask: jax.Array,
     avg_cam_width: jax.Array,
     loss: RobustLoss = RobustLoss.CAUCHY,
@@ -71,7 +75,7 @@ def pose_residuals_per_axis(
     the robust objective.
     """
     rmat = rodrigues_to_matrix(params[:3])
-    proj = project_points(rmat, params[3:6], params[6:8], cx_cy_skew, points3d)
+    proj = project_points(rmat, params[3:6], params[6:8], cx_cy_skew, dist, points3d)
     r = proj - points2d
     s = jnp.sum(r * r, axis=1)
     w = robust_weight(loss, jax.lax.stop_gradient(s))
@@ -83,6 +87,7 @@ def pose_residuals_scalar(
     points3d: jax.Array,
     points2d: jax.Array,
     cx_cy_skew: jax.Array,
+    dist: jax.Array,
     mask: jax.Array,
     avg_cam_width_sqr: jax.Array,
     loss: RobustLoss = RobustLoss.CAUCHY,
@@ -93,7 +98,7 @@ def pose_residuals_scalar(
     loss(obs, proj), masked, divided by the squared average camera width.
     """
     rmat = rodrigues_to_matrix(params[:3])
-    proj = project_points(rmat, params[3:6], params[6:8], cx_cy_skew, points3d)
+    proj = project_points(rmat, params[3:6], params[6:8], cx_cy_skew, dist, points3d)
     if loss == RobustLoss.CAUCHY:
         res = cauchy_loss(points2d, proj)
     else:
@@ -130,13 +135,14 @@ class PoseRefiner:
         else:
             raise ValueError(f"unknown residual_form {self.residual_form!r}")
 
-        def solve_one(params0, points3d, points2d, cx_cy_skew, mask):
+        def solve_one(params0, points3d, points2d, cx_cy_skew, dist, mask):
             return lm_solve(
                 res_fn,
                 params0,
                 points3d,
                 points2d,
                 cx_cy_skew,
+                dist,
                 mask,
                 norm.astype(params0.dtype),
                 config=self.config,
@@ -145,9 +151,13 @@ class PoseRefiner:
         return jax.jit(jax.vmap(solve_one))
 
     def optimize(
-        self, params0, points3d, points2d, cx_cy_skew, mask
+        self, params0, points3d, points2d, cx_cy_skew, mask, dist=None
     ) -> Tuple[jax.Array, LMState]:
-        params, state = self.solver(params0, points3d, points2d, cx_cy_skew, mask)
+        if dist is None:
+            dist = jnp.zeros((params0.shape[0], 2), params0.dtype)
+        params, state = self.solver(
+            params0, points3d, points2d, cx_cy_skew, dist, mask
+        )
         return params.block_until_ready(), state
 
     def compile(self, points_num: int, batch_size: int = 8, dtype=jnp.float32):
@@ -184,5 +194,9 @@ def refine_poses(
         problem.points2d,
         problem.cameras.cx_cy_skew,
         problem.mask,
+        dist=problem.cameras.dist,
     )
-    return pose_params_unpack(params, problem.cameras.cx_cy_skew), state
+    return (
+        pose_params_unpack(params, problem.cameras.cx_cy_skew, problem.cameras.dist),
+        state,
+    )
