@@ -70,12 +70,16 @@ def _tpu_alive(timeout_s: float = 900.0) -> bool:
 def main(force_cpu: bool = False) -> None:
     import jax
 
+    from tpu3drecon.utils.compile_cache import cache_entry_count, enable_compilation_cache
+
     tpu_fell_back = False
     if not force_cpu and not _tpu_alive():
         tpu_fell_back = True
         force_cpu = True
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    cache_entries_before = cache_entry_count()
+    enable_compilation_cache()
 
     from tpu3drecon.benchmark.medium_config import (
         BENCH_CONFIG,
@@ -109,6 +113,22 @@ def main(force_cpu: bool = False) -> None:
     )
     rmse = float(jax.device_get(reprojection_rmse(eval_problem, cams, pts)))
 
+    # In-band CPU baseline bookkeeping: --cpu records its measurement; the
+    # headline run warns when the pinned constant has drifted >20% from the
+    # latest recorded measurement on this host.
+    import pathlib
+
+    baseline_file = pathlib.Path(__file__).parent / ".bench_cpu_baseline.json"
+    cpu_baseline_drift = None
+    if force_cpu and not tpu_fell_back:
+        baseline_file.write_text(json.dumps({"cpu_s": round(run_s, 4)}))
+    elif baseline_file.exists():
+        measured = json.loads(baseline_file.read_text()).get("cpu_s")
+        if measured:
+            drift = abs(measured - CPU_BASELINE_S) / CPU_BASELINE_S
+            if drift > 0.2:
+                cpu_baseline_drift = round(drift, 3)
+
     result = {
         "metric": "ba_medium_100cam_100kpt_30lm_iters",
         "value": round(run_s, 4),
@@ -123,8 +143,13 @@ def main(force_cpu: bool = False) -> None:
             "backend": jax.default_backend(),
             "cpu_baseline_s": CPU_BASELINE_S,
             "tpu_probe_failed": tpu_fell_back,
+            # compile_s <= ~5s together with warm_cache=True demonstrates the
+            # persistent compilation cache (cold process pays ~24s once).
+            "warm_cache": cache_entries_before > 0,
         },
     }
+    if cpu_baseline_drift is not None:
+        result["extra"]["cpu_baseline_drift_warning"] = cpu_baseline_drift
     print(json.dumps(result))
 
 
