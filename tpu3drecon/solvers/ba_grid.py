@@ -152,7 +152,7 @@ class GridNormal(NamedTuple):
 
 def build_grid_normal(
     blocks: GridBlocks, problem: BAGridProblem, lam: jax.Array,
-    diag_floor: float = 1e-8,
+    diag_floor: float = 1e-8, precond: str = "schur_jacobi",
 ) -> GridNormal:
     C, K = problem.uv.shape[:2]
     P, T = problem.track_idx.shape
@@ -186,11 +186,24 @@ def build_grid_normal(
     damp_pt = lam * dv
     u_d = u + damp_cam[..., None] * eye8
     v_d = v + damp_pt[..., None] * eye3
+    v_inv = inv3x3(v_d)
+
+    if precond == "schur_jacobi":
+        # Exact S diagonal blocks (see schur.build_normal_blocks): per-cell
+        # W = jc^T jp, then W vinv W^T reduced over the K axis — the vinv
+        # gather by pt_idx happens once per linearization, not per matvec.
+        w_cell = jnp.einsum("ckri,ckrj->ckij", blocks.jc, blocks.jp)  # (C,K,8,3)
+        vinv_g = v_inv[problem.pt_idx]  # (C,K,3,3)
+        wv = jnp.einsum("ckij,ckjl->ckil", w_cell, vinv_g)
+        coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
+        precond_mat = u_d - coupling
+    else:
+        precond_mat = u_d
 
     return GridNormal(
         u=u_d,
-        v_inv=inv3x3(v_d),
-        u_chol=jax.vmap(jnp.linalg.cholesky)(u_d),
+        v_inv=v_inv,
+        u_chol=jax.vmap(jnp.linalg.cholesky)(precond_mat),
         g_cam=g_cam,
         g_pt=g_pt,
         damp_cam=damp_cam,
@@ -318,7 +331,7 @@ def _ba_solve_grid_impl(problem, config):
 
     def body(state: BAState):
         blocks = blocks_for(state.rmats, state.tvecs, state.fx_fy, state.points3d)
-        nb = build_grid_normal(blocks, problem, state.lam)
+        nb = build_grid_normal(blocks, problem, state.lam, precond=config.precond)
         grad_norm = jnp.maximum(
             jnp.max(jnp.abs(nb.g_cam)),
             jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,

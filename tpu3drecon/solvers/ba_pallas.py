@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3drecon.ops.jacobians import apply_se3_retraction
+from tpu3drecon.ops.packed_gather import gather_rows_packed, pack_rows, unpack_rows
 from tpu3drecon.ops.pallas.cam_normal import cam_normal_fused
 from tpu3drecon.ops.pallas.point_normal import point_normal_fused
 from tpu3drecon.problems.grid import (
@@ -76,7 +77,11 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
     p_num = points3d.shape[0]
     dtype = points3d.dtype
 
-    x_w = jnp.transpose(points3d[problem.pt_idx], (0, 2, 1))  # (C,3,K)
+    if config.packed_gathers:
+        x_w3 = gather_rows_packed(points3d, problem.pt_idx)  # (C,K,3)
+    else:
+        x_w3 = points3d[problem.pt_idx]
+    x_w = jnp.transpose(x_w3, (0, 2, 1))  # (C,3,K)
     uv = jnp.transpose(problem.uv, (0, 2, 1))  # (C,2,K)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
@@ -91,18 +96,29 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
         keep = jnp.ones((8,), dtype).at[6:8].set(0.0)
         u0 = u0 * keep[None, :, None] * keep[None, None, :]
         g_cam = g_cam * keep[None, :]
+    if not config.optimize_points:
+        # Pose-only BA: kill the point Jacobian so W (and with it the Schur
+        # coupling in every matvec) vanishes, matching the flat/grid engines.
+        jp = jp * 0.0
 
     # Track gather: jp/r rows to the point side, per track-length bucket
     # (bucketing cuts gathered padding rows ~3-4x on skewed distributions).
     jp_rows = jnp.transpose(jp, (0, 2, 1)).reshape(c * k, 6)
     r_rows = jnp.transpose(r, (0, 2, 1)).reshape(c * k, 2)
+    # One 8-wide (4 packed) row per obs carries [jp row0 | jp row1 | r].
+    jpr_rows = jnp.concatenate([jp_rows, r_rows], axis=1)  # (c*k, 8)
+    jpr_packed = pack_rows(jpr_rows) if config.packed_gathers else jpr_rows
     jp_g_buckets = []
     v_inv_parts, g_pt_parts, damp_pt_parts = [], [], []
     for bucket in _track_buckets(problem):
         pb, tb = bucket.track_idx.shape
         tm = bucket.track_mask[..., None]
-        jp_gb = (jp_rows[bucket.track_idx] * tm).reshape(pb, tb * 2, 3)
-        r_gb = (r_rows[bucket.track_idx] * tm).reshape(pb, tb * 2)
+        if config.packed_gathers:
+            jpr_g = unpack_rows(jpr_packed[bucket.track_idx], 8) * tm
+        else:
+            jpr_g = jpr_packed[bucket.track_idx] * tm
+        jp_gb = jpr_g[..., :6].reshape(pb, tb * 2, 3)
+        r_gb = jpr_g[..., 6:8].reshape(pb, tb * 2)
         pad = (-pb) % _POINT_BLOCK
         if pad:
             jp_gk = jnp.pad(jp_gb, ((0, pad), (0, 0), (0, 0)))
@@ -126,7 +142,26 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
     du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
     damp_cam = lam * du
     u_d = u0 + damp_cam[..., None] * eye8
-    u_chol = jax.vmap(jnp.linalg.cholesky)(u_d)
+
+    if config.precond == "schur_jacobi":
+        # Exact S diagonal blocks (see schur.build_normal_blocks) in plane
+        # layout: W_cell = jc^T jp per cell from the row-major jc/jp planes,
+        # coupling = sum_k W vinv W^T.  One vinv gather per linearization.
+        jc4 = jc.reshape(c, 2, 8, k)
+        jp4 = jp.reshape(c, 2, 3, k)
+        w_cell = jnp.einsum("crik,crjk->cijk", jc4, jp4)  # (C,8,3,K)
+        if config.packed_gathers:
+            vinv_g = gather_rows_packed(
+                v_inv.reshape(-1, 9), problem.pt_idx
+            ).reshape(c, k, 3, 3)
+        else:
+            vinv_g = v_inv[problem.pt_idx]  # (C,K,3,3)
+        wv = jnp.einsum("cijk,ckjl->cilk", w_cell, vinv_g)
+        coupling = jnp.einsum("cilk,cmlk->cim", wv, w_cell)
+        precond_mat = u_d - coupling
+    else:
+        precond_mat = u_d
+    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     return PlaneNormal(
         u_chol=u_chol, u=u_d, g_cam=g_cam, g_pt=g_pt, v_inv=v_inv,
@@ -135,9 +170,12 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
     )
 
 
-def _w_times(nb: PlaneNormal, y_pt: jax.Array, problem: BAGridProblem) -> jax.Array:
+def _w_times(
+    nb: PlaneNormal, y_pt: jax.Array, problem: BAGridProblem, packed: bool = True
+) -> jax.Array:
     """(W y)_c in plane layout: all (C, comp, K) contractions."""
-    y_g = jnp.transpose(y_pt[problem.pt_idx], (0, 2, 1))  # (C,3,K)
+    y_g3 = gather_rows_packed(y_pt, problem.pt_idx) if packed else y_pt[problem.pt_idx]
+    y_g = jnp.transpose(y_g3, (0, 2, 1))  # (C,3,K)
     jp0 = nb.jp[:, 0:3, :]
     jp1 = nb.jp[:, 3:6, :]
     tmp0 = jnp.sum(jp0 * y_g, axis=1)  # (C,K) row-0 product
@@ -147,30 +185,48 @@ def _w_times(nb: PlaneNormal, y_pt: jax.Array, problem: BAGridProblem) -> jax.Ar
     return out0 + out1
 
 
-def _wt_times(nb: PlaneNormal, x_cam: jax.Array, problem) -> jax.Array:
-    """(W^T x)_p: camera half on planes, point half via the track buckets."""
+def _wt_times(
+    nb: PlaneNormal, x_cam: jax.Array, problem, packed: bool = True
+) -> jax.Array:
+    """(W^T x)_p: camera half on planes, point half via the track buckets.
+
+    The per-obs (s0, s1) pair is the natural complex64 payload: packed, the
+    track gather moves ONE element per (point, slot) instead of two.
+    """
     c, k = problem.uv.shape[:2]
     p_num = problem.points3d.shape[0]
     s0 = jnp.einsum("cik,ci->ck", nb.jc[:, :8, :], x_cam)
     s1 = jnp.einsum("cik,ci->ck", nb.jc[:, 8:, :], x_cam)
-    s = jnp.stack([s0, s1], axis=-1).reshape(c * k, 2)
+    if packed:
+        s = jax.lax.complex(s0, s1).reshape(c * k)
+    else:
+        s = jnp.stack([s0, s1], axis=-1).reshape(c * k, 2)
     parts = []
     for bucket, jp_gb in zip(_track_buckets(problem), nb.jp_g):
         pb, tb = bucket.track_idx.shape
-        s_g = (s[bucket.track_idx] * bucket.track_mask[..., None]).reshape(pb, tb * 2)
+        if packed:
+            sg_c = s[bucket.track_idx]  # (Pb, Tb) complex64
+            s_g = (
+                jnp.stack([jnp.real(sg_c), jnp.imag(sg_c)], axis=-1)
+                * bucket.track_mask[..., None]
+            ).reshape(pb, tb * 2)
+        else:
+            s_g = (s[bucket.track_idx] * bucket.track_mask[..., None]).reshape(
+                pb, tb * 2
+            )
         parts.append(jnp.einsum("pni,pn->pi", jp_gb, s_g))
     out = jnp.concatenate(parts)
     return out[:p_num]
 
 
-def _schur_matvec(nb, x, problem):
+def _schur_matvec(nb, x, problem, packed: bool = True):
     ux = jnp.einsum("cij,cj->ci", nb.u, x)
-    wtx = _wt_times(nb, x, problem)
+    wtx = _wt_times(nb, x, problem, packed)
     vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
-    return ux - _w_times(nb, vinv_wtx, problem)
+    return ux - _w_times(nb, vinv_wtx, problem, packed)
 
 
-def _pcg(nb, b, problem, maxiter, rtol):
+def _pcg(nb, b, problem, maxiter, rtol, packed: bool = True):
     dtype = b.dtype
 
     def dot(a, b_):
@@ -191,7 +247,7 @@ def _pcg(nb, b, problem, maxiter, rtol):
 
     def body(st):
         x, r, z, p, rz, i = st
-        sp = _schur_matvec(nb, p, problem)
+        sp = _schur_matvec(nb, p, problem, packed)
         alpha = rz / jnp.where(jnp.abs(dot(p, sp)) < 1e-32, 1.0, dot(p, sp))
         x = x + alpha * p
         r = r - alpha * sp
@@ -212,7 +268,10 @@ def _cost(params, problem, config: BAConfig) -> jax.Array:
 
     rmats, tvecs, fx_fy, points3d = params
     dtype = points3d.dtype
-    x_w = points3d[problem.pt_idx]  # (C,K,3)
+    if config.packed_gathers:
+        x_w = gather_rows_packed(points3d, problem.pt_idx)  # (C,K,3)
+    else:
+        x_w = points3d[problem.pt_idx]
     xc = jnp.einsum("cij,ckj->cki", rmats, x_w) + tvecs[:, None, :]
     z = xc[..., 2]
     iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
@@ -265,11 +324,14 @@ def _ba_solve_pallas_impl(problem, config, interpret):
             jnp.max(jnp.abs(nb.g_cam)),
             jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,
         )
+        packed = config.packed_gathers
         vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
-        b = -nb.g_cam + _w_times(nb, vinv_gp, problem)
-        dc, cg_iters = _pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
+        b = -nb.g_cam + _w_times(nb, vinv_gp, problem, packed)
+        dc, cg_iters = _pcg(
+            nb, b, problem, config.cg_maxiter, config.cg_rtol, packed
+        )
         dp = jnp.einsum(
-            "pij,pj->pi", nb.v_inv, -nb.g_pt - _wt_times(nb, dc, problem)
+            "pij,pj->pi", nb.v_inv, -nb.g_pt - _wt_times(nb, dc, problem, packed)
         )
         if not config.optimize_points:
             dp = dp * 0.0

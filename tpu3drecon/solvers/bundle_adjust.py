@@ -46,6 +46,17 @@ class BAConfig(NamedTuple):
     loss: RobustLoss = RobustLoss.TRIVIAL
     optimize_focal: bool = True
     optimize_points: bool = True  # False -> pose-only (motion-only) BA
+    # CG preconditioner for the reduced camera system:
+    #   "jacobi_u":     block-Jacobi on damped U (ignores point-elimination fill)
+    #   "schur_jacobi": exact diagonal blocks of S = U - W V^-1 W^T (Ceres'
+    #                   SCHUR_JACOBI) — costs one extra v_inv gather per
+    #                   linearization, typically halves CG iterations.
+    precond: str = "schur_jacobi"
+    # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
+    # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
+    # (complex64 gathers hit an XLA slow path) — keep False; the code path
+    # stays for future element-width experiments.
+    packed_gathers: bool = False
 
 
 class BAState(NamedTuple):
@@ -171,6 +182,7 @@ def _ba_solve_impl(
             n_points,
             state.lam,
             axis_name=axis_name,
+            precond=config.precond,
         )
         grad_norm = jnp.maximum(
             jnp.max(jnp.abs(nb.g_cam)),

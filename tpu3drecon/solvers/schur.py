@@ -99,12 +99,19 @@ def build_normal_blocks(
     lam: jax.Array,
     diag_floor: float = 1e-8,
     axis_name: Optional[str] = None,
+    precond: str = "schur_jacobi",
 ) -> NormalBlocks:
     """Accumulate damped U, V, W, gradients from per-observation blocks.
 
     Marquardt damping: add lam * clamp(diag) to each block diagonal, so the
     step is scale-invariant across the wildly different parameter magnitudes
     (rotations ~1, focals ~1e3, points ~scene units).
+
+    With precond="schur_jacobi", u_chol factors the EXACT diagonal blocks of
+    S = U - W V^-1 W^T instead of U: a camera observes each point at most
+    once, so S_ii = U_ii - sum_obs W_obs V^-1 W_obs^T is one obs-local
+    einsum + segment-sum (psum-reducible under obs sharding) — no
+    cross-camera structure needed.  SPD because S itself is SPD.
     """
     dtype = blocks_r.dtype
     u = _maybe_psum(segment_outer(blocks_jc, blocks_jc, cam_idx, n_cameras), axis_name)
@@ -123,7 +130,16 @@ def build_normal_blocks(
     v_d = v + damp_pt[..., None] * eye3
 
     v_inv = inv3x3(v_d)
-    u_chol = jax.vmap(jnp.linalg.cholesky)(u_d)
+    if precond == "schur_jacobi":
+        wv = jnp.einsum("kij,kjl->kil", w, v_inv[pt_idx])  # (N,8,3)
+        g_obs = jnp.einsum("kil,kml->kim", wv, w)  # (N,8,8)
+        coupling = _maybe_psum(
+            jax.ops.segment_sum(g_obs, cam_idx, num_segments=n_cameras), axis_name
+        )
+        precond_mat = u_d - coupling
+    else:
+        precond_mat = u_d
+    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
     return NormalBlocks(
         u=u_d,
         v=v_d,
