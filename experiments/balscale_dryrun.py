@@ -1,0 +1,120 @@
+"""BAL-class scale proof (BASELINE config #5: ~1.7k cams / 1M points).
+
+Two modes:
+  python experiments/balscale_dryrun.py cpu8   # 8-device virtual CPU mesh,
+      sharded bucketed-grid engine, 1 LM iteration (compile + execute proof)
+  python experiments/balscale_dryrun.py tpu    # single real TPU chip, pallas
+      engine, 3 LM iterations, reports s/LM-iter (memory-feasibility proof)
+
+Must be the process's FIRST jax use (platform/device-count switching).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+
+def build_problem():
+    import jax.numpy as jnp
+
+    from tpu3drecon.dataset.synthetic import make_scene, perturb_scene, scene_to_ba_problem
+    from tpu3drecon.problems.grid import grid_bucketed_from_flat
+
+    t0 = time.time()
+    scene = make_scene(
+        n_cameras=1712, n_points=1_000_000, obs_per_camera=2400, seed=7,
+        ring_radius=14.0, cloud_radius=6.0,
+    )
+    noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
+    flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+    grid = grid_bucketed_from_flat(flat)
+    n_obs = int(sum(float(b.track_mask.sum()) for b in grid.buckets))
+    print(
+        f"built BAL-class problem in {time.time()-t0:.0f}s: "
+        f"{grid.n_cameras} cams x K={grid.uv.shape[1]}, "
+        f"{grid.points3d.shape[0]} padded points "
+        f"({grid.n_real_points} real), {n_obs} obs, "
+        f"buckets={[tuple(b.track_idx.shape) for b in grid.buckets]}",
+        flush=True,
+    )
+    return grid
+
+
+def main_cpu8():
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) == 8, jax.devices()
+
+    from tpu3drecon.parallel.mesh import make_mesh
+    from tpu3drecon.parallel.sharded_grid import ba_solve_grid_sharded
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+
+    grid = build_problem()
+    mesh = make_mesh(8)
+    config = BAConfig(maxiter=1, gtol=0.0, ftol=0.0, cg_maxiter=2, cg_rtol=1e-6)
+    t0 = time.time()
+    cams, pts, state = ba_solve_grid_sharded(grid, config, mesh=mesh)
+    jax.block_until_ready(pts)
+    total = time.time() - t0
+    loss = float(jax.device_get(state.loss))
+    print(json.dumps({
+        "mode": "cpu8_sharded_grid", "cams": int(grid.n_cameras),
+        "points": int(grid.n_real_points),
+        "lm_iters": 1, "compile_plus_run_s": round(total, 1),
+        "loss": loss, "finite": loss == loss,
+        "accepted": int(jax.device_get(state.accepted)),
+    }), flush=True)
+
+
+def main_tpu():
+    import jax
+
+    from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+    from tpu3drecon.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    # Build host-side (grid packing is host work), then one device_put.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        grid = build_problem()
+    grid = jax.device_put(grid)
+
+    config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
+    solver = make_pallas_ba_solver(config)
+    t0 = time.time()
+    cams, pts, state = solver(grid)
+    jax.block_until_ready(pts)
+    jax.device_get(state.loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    cams, pts, state = solver(grid)
+    jax.block_until_ready(pts)
+    loss = float(jax.device_get(state.loss))
+    run_s = time.time() - t0
+    print(json.dumps({
+        "mode": "tpu_pallas_single_chip", "cams": int(grid.n_cameras),
+        "points": int(grid.n_real_points), "lm_iters": 3,
+        "compile_s": round(compile_s, 1), "run_s": round(run_s, 2),
+        "s_per_lm_iter": round(run_s / 3, 3),
+        "loss": loss, "finite": loss == loss,
+        "accepted": int(jax.device_get(state.accepted)),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "cpu8"
+    if mode == "cpu8":
+        main_cpu8()
+    else:
+        main_tpu()

@@ -2,6 +2,11 @@
 problem.  Whole-solve timings only (tunnel dispatch overhead makes
 standalone-op microbenchmarks meaningless — CLAUDE.md)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -124,6 +124,12 @@ def make_scene(
     for c in range(n_cameras):
         if obs_per_camera is None or obs_per_camera >= n_points:
             pt_rows = np.arange(n_points)
+        elif n_points >= 500_000:
+            # BAL-scale fast path: no-replacement sampling is O(n_points) per
+            # camera; sample with replacement + dedup instead (collisions are
+            # negligible at this ratio).  Gated to huge scenes so benchmark
+            # problems at standard sizes remain bit-identical across rounds.
+            pt_rows = np.unique(rng.integers(0, n_points, size=obs_per_camera))
         else:
             pt_rows = rng.choice(n_points, size=obs_per_camera, replace=False)
         xyz_cam = points[pt_rows] @ rmats[c].T + tvecs[c]
