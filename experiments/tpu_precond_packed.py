@@ -23,13 +23,14 @@ from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
 problem = build_grid_problem()
 eval_problem = build_problem(on_host=True)
 
+# Round 2 batch 3: tight buckets (2,4,8) + fused coupling kernel.
 MATRIX = [
+    ("jacobi_u", 12, False),    # round-1 config on tight buckets
     ("schur_jacobi", 8, False),
     ("schur_jacobi", 6, False),
     ("schur_jacobi", 4, False),
-    ("jacobi_u", 8, False),
     ("jacobi_u", 1, False),     # fixed-cost floor
-    ("schur_jacobi", 1, False), # fixed-cost floor incl. precond build
+    ("schur_jacobi", 1, False), # floor + fused precond cost
 ]
 
 for precond, cg, packed in MATRIX:

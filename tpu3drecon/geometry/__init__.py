@@ -10,7 +10,6 @@ from tpu3drecon.geometry.losses import (
     trivial_rho,
 )
 from tpu3drecon.geometry.pose import (
-    CONVERSION_MATRIX,
     camera_center,
     camera_center_batch,
     pose_apply,
@@ -47,3 +46,13 @@ from tpu3drecon.geometry.rotations import (
     wxyz_to_xyzw,
     xyzw_to_wxyz,
 )
+
+
+def __getattr__(name):
+    # Lazy: materializing CONVERSION_MATRIX initializes the XLA backend,
+    # which must not happen at import time (jax.distributed.initialize).
+    if name == "CONVERSION_MATRIX":
+        from tpu3drecon.geometry import pose
+
+        return pose.CONVERSION_MATRIX
+    raise AttributeError(name)

@@ -16,13 +16,24 @@ import jax.numpy as jnp
 
 # Conjugation matrix flipping the Y axis (LH Unity <-> RH COLMAP).
 # Reference: src/dataset/camera_pose/constants.py:3-7.
-CONVERSION_MATRIX = jnp.array(
+# NOTE: built lazily — a module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must
+# run before ANY backend init; see experiments/distributed_smoke.py).
+import numpy as _np
+
+_CONVERSION_NP = _np.array(
     [
         [1.0, 0.0, 0.0],
         [0.0, -1.0, 0.0],
         [0.0, 0.0, 1.0],
     ]
 )
+
+
+def __getattr__(name):
+    if name == "CONVERSION_MATRIX":
+        return jnp.asarray(_CONVERSION_NP)
+    raise AttributeError(name)
 
 
 def pose_inverse(rmat: jax.Array, tvec: jax.Array):
@@ -45,7 +56,7 @@ def pose_convert_coordinate_system(rmat: jax.Array, tvec: jax.Array):
     Same math as CameraPose.in_coordinate_system (camera_pose.py:49-62):
     R' = C R C, t' = C t.
     """
-    conv = CONVERSION_MATRIX.astype(rmat.dtype)
+    conv = jnp.asarray(_CONVERSION_NP, rmat.dtype)
     return conv @ rmat @ conv, conv @ tvec
 
 

@@ -181,19 +181,28 @@ def grid_from_flat(
 def grid_bucketed_from_flat(
     problem: BAProblem,
     obs_pad_multiple: int = 128,
-    small_track: int = 4,
+    bounds: Tuple[int, ...] = (2, 4, 8),
     point_block: int = 512,
+    small_track: Optional[int] = None,
 ) -> BAGridBucketedProblem:
     """Repack a flat BAProblem into the bucketed grid layout.
 
-    Points with track length <= ``small_track`` form bucket A (tight T);
-    the rest form bucket B with T = max track length (rounded to 4).  Each
-    bucket's point count is padded to ``point_block`` (the Pallas point
-    kernel's block size); padding rows have empty tracks and zero points.
+    ``bounds = (b1, b2, ...)`` splits points by track length into buckets
+    (len <= b1), (b1 < len <= b2), ..., (> b_last, T = max length rounded to
+    4).  TPU gathers cost per ROW regardless of row width (measured round 2,
+    RESULTS.md), so tight buckets directly cut the dominant per-matvec and
+    per-linearization gather costs: on the medium bench problem the round-1
+    two-bucket scheme wasted 55% of gathered rows as padding; (2, 4, 8)
+    wastes 26%.  Each bucket's point count is padded to ``point_block`` (the
+    Pallas point kernel's block size; also keeps every bucket divisible by
+    power-of-two meshes); padding rows have empty tracks and zero points.
+
+    ``small_track`` is the deprecated round-1 single-boundary form.
     """
+    if small_track is not None:
+        bounds = (small_track,)
     base = grid_from_flat(problem, obs_pad_multiple=obs_pad_multiple)
     gpt = np.asarray(base.pt_idx)
-    gmask = np.asarray(base.mask)
     tidx = np.asarray(base.track_idx)
     tcam = np.asarray(base.track_cam)
     tmask = np.asarray(base.track_mask)
@@ -201,18 +210,27 @@ def grid_bucketed_from_flat(
     P, T = tidx.shape
 
     lengths = tmask.sum(axis=1).astype(np.int64)
-    small = lengths <= small_track
-    rows_a = np.nonzero(small)[0]
-    rows_b = np.nonzero(~small)[0]
+    max_len = max(int(lengths.max()), 1)
+    # Bucket upper bounds: the configured boundaries (cropped to max_len),
+    # plus a final bucket covering the tail.
+    uppers = [b for b in sorted(bounds) if b < max_len]
+    uppers.append(bucket_size(max_len, 4) if uppers else bucket_size(max_len, 4))
+    row_groups = []
+    lo = 0
+    for t in uppers:
+        sel = np.nonzero((lengths > lo) & (lengths <= t))[0]
+        lo = t
+        row_groups.append((sel, max(t, 1)))
+    # Track-0 points (unobserved) fall in the first group via lengths > -1?
+    # They have length 0 so match no (lo=0) group — put them in group 0 so
+    # every point keeps a bucket row (unpermute_points requires it).
+    zero_rows = np.nonzero(lengths == 0)[0]
+    if len(zero_rows):
+        sel0, t0 = row_groups[0]
+        row_groups[0] = (np.sort(np.concatenate([sel0, zero_rows])), t0)
 
     def pad_to(n, m):
         return ((n + m - 1) // m) * m if n else 0
-
-    pa = pad_to(len(rows_a), point_block)
-    pb = pad_to(len(rows_b), point_block)
-
-    t_a = max(4, small_track)
-    t_b = bucket_size(max(int(lengths[rows_b].max()) if len(rows_b) else 1, 1), 4)
 
     def build_bucket(rows, p_pad, t):
         bi = np.zeros((p_pad, t), np.int32)
@@ -229,24 +247,27 @@ def grid_bucketed_from_flat(
         )
 
     buckets = []
-    if len(rows_a):
-        buckets.append(build_bucket(rows_a, pa, t_a))
-    if len(rows_b):
-        buckets.append(build_bucket(rows_b, pb, t_b))
+    offsets = []
+    off = 0
+    kept_groups = []
+    for rows, t in row_groups:
+        if not len(rows):
+            continue
+        p_pad = pad_to(len(rows), point_block)
+        buckets.append(build_bucket(rows, p_pad, t))
+        offsets.append(off)
+        kept_groups.append((rows, p_pad))
+        off += p_pad
 
-    # Permuted + padded point array: [A points | A pad | B points | B pad].
-    p_total = pa + pb
+    # Permuted + padded point array: [g0 pts | g0 pad | g1 pts | g1 pad | ...]
+    p_total = off
     new_points = np.zeros((p_total, 3), points.dtype)
     point_rows = np.full(p_total, -1, np.int64)
-    new_points[: len(rows_a)] = points[rows_a]
-    point_rows[: len(rows_a)] = rows_a
-    new_points[pa : pa + len(rows_b)] = points[rows_b]
-    point_rows[pa : pa + len(rows_b)] = rows_b
-
-    # Relabel the grid's pt_idx to permuted rows.
     old_to_new = np.zeros(P, np.int64)
-    old_to_new[rows_a] = np.arange(len(rows_a))
-    old_to_new[rows_b] = pa + np.arange(len(rows_b))
+    for (rows, p_pad), start in zip(kept_groups, offsets):
+        new_points[start : start + len(rows)] = points[rows]
+        point_rows[start : start + len(rows)] = rows
+        old_to_new[rows] = start + np.arange(len(rows))
     new_pt_idx = old_to_new[gpt].astype(np.int32)
     # Padded grid cells keep mask 0; their pt_idx points at row old_to_new[0].
 

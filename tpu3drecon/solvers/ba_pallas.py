@@ -144,20 +144,21 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
     u_d = u0 + damp_cam[..., None] * eye8
 
     if config.precond == "schur_jacobi":
-        # Exact S diagonal blocks (see schur.build_normal_blocks) in plane
-        # layout: W_cell = jc^T jp per cell from the row-major jc/jp planes,
-        # coupling = sum_k W vinv W^T.  One vinv gather per linearization.
-        jc4 = jc.reshape(c, 2, 8, k)
-        jp4 = jp.reshape(c, 2, 3, k)
-        w_cell = jnp.einsum("crik,crjk->cijk", jc4, jp4)  # (C,8,3,K)
-        if config.packed_gathers:
-            vinv_g = gather_rows_packed(
-                v_inv.reshape(-1, 9), problem.pt_idx
-            ).reshape(c, k, 3, 3)
-        else:
-            vinv_g = v_inv[problem.pt_idx]  # (C,K,3,3)
-        wv = jnp.einsum("cijk,ckjl->cilk", w_cell, vinv_g)
-        coupling = jnp.einsum("cilk,cmlk->cim", wv, w_cell)
+        # Exact S diagonal blocks (see schur.build_normal_blocks), fused in
+        # ops/pallas/coupling.py: one 6-wide vinv row gather per
+        # linearization (gathers cost per ROW — round-2 rate model), then
+        # every W/T intermediate stays in registers.
+        from tpu3drecon.ops.pallas.coupling import coupling_fused
+
+        vinv6 = jnp.stack(
+            [
+                v_inv[:, 0, 0], v_inv[:, 0, 1], v_inv[:, 0, 2],
+                v_inv[:, 1, 1], v_inv[:, 1, 2], v_inv[:, 2, 2],
+            ],
+            axis=1,
+        )  # (P, 6)
+        vinv6_g = jnp.transpose(vinv6[problem.pt_idx], (0, 2, 1))  # (C,6,K)
+        coupling = coupling_fused(jc, jp, vinv6_g, interpret=interpret)
         precond_mat = u_d - coupling
     else:
         precond_mat = u_d
