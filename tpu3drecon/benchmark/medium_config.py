@@ -19,18 +19,19 @@ OBS_PER_CAMERA = 2_000
 SEED = 42
 
 # Fixed-work config: run exactly LM_ITERS outer iterations (no early stop) so
-# wall-clock comparisons measure identical work.  cg_maxiter=12 is the tuned
-# inexact-Newton setting: the block-Jacobi-preconditioned CG reaches the same
-# final loss/RMSE as 30 inner iterations on this problem (measured on both
-# CPU and TPU) at ~60% of the cost; both the baseline and the TPU number use
-# the identical config.
+# wall-clock comparisons measure identical work.  Round-2 tuning (RESULTS.md):
+# the SCHUR_JACOBI preconditioner (exact S-diagonal blocks) reaches the
+# round-1 final RMSE (1.19e-5 px vs 1.18e-5) with cg_maxiter=8 instead of the
+# block-Jacobi-on-U setting's 12; both the CPU baseline and the TPU number
+# use the identical config.
 LM_ITERS = 30
 BENCH_CONFIG = BAConfig(
     maxiter=LM_ITERS,
     gtol=0.0,
     ftol=0.0,
-    cg_maxiter=12,
+    cg_maxiter=8,
     cg_rtol=1e-4,
+    precond="schur_jacobi",
 )
 
 
