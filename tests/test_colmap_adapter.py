@@ -182,3 +182,17 @@ class TestSinglePoseGating:
         bench = ColmapSinglePoseBenchmark(get_dataset("synthetic_small_noised"))
         with pytest.raises(BaselineUnavailable, match="pycolmap"):
             bench.benchmark()
+
+    def test_gtsam_single_pose_gating(self):
+        try:
+            import gtsam  # noqa: F401
+
+            pytest.skip("gtsam installed; gating path not reachable")
+        except ImportError:
+            pass
+        from tpu3drecon.benchmark.adapters.gtsam_adapter import GtsamSinglePoseBenchmark
+        from tpu3drecon.benchmark.datasets import get_dataset
+
+        bench = GtsamSinglePoseBenchmark(get_dataset("synthetic_small_noised"))
+        with pytest.raises(BaselineUnavailable, match="gtsam"):
+            bench.benchmark()

@@ -196,3 +196,36 @@ class TestCameraSet:
         set_a.create_sparse_model(str(out), k, 1280, 960, binary=True)
         set_b = CameraSet.from_sparse_folder(str(out))
         np.testing.assert_allclose(set_a.positions(), set_b.positions(), atol=1e-9)
+
+    def test_sparse_model_with_database_remap(self, sparse_dir, tmp_path):
+        """database_path remaps image ids/filenames to the COLMAP sqlite
+        feature database and drops poses absent from it (reference
+        camera_set.py:61-124)."""
+        import sqlite3
+
+        from tpu3drecon.io import colmap as cio
+
+        set_a = CameraSet.from_sparse_folder(sparse_dir)
+        # A db covering only 3 of the 5 poses, with non-positional ids.
+        db = tmp_path / "database.db"
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE images (image_id INTEGER PRIMARY KEY, name TEXT)")
+        kept = [set_a.poses[i] for i in (0, 2, 4)]
+        db_ids = [17, 4, 99]
+        for i, p in zip(db_ids, kept):
+            conn.execute(
+                "INSERT INTO images VALUES (?, ?)", (i, f"{p.identifier}.jpg")
+            )
+        conn.commit()
+        conn.close()
+
+        k = np.array([[1000.0, 0, 640], [0, 1000.0, 480], [0, 0, 1]])
+        out = tmp_path / "remapped"
+        set_a.create_sparse_model(
+            str(out), k, 1280, 960, binary=True, database_path=str(db)
+        )
+        model = cio.read_model(str(out))
+        assert sorted(np.asarray(model.images.image_ids).tolist()) == sorted(db_ids)
+        assert sorted(model.images.names) == sorted(
+            f"{p.identifier}.jpg" for p in kept
+        )

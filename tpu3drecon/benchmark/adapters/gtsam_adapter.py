@@ -21,6 +21,8 @@ from tpu3drecon.benchmark.adapters.colmap_adapter import BaselineUnavailable
 from tpu3drecon.benchmark.harness import (
     BundleAdjustmentBenchmark,
     BundleAdjustmentBenchmarkResults,
+    SinglePoseBenchmark,
+    SinglePoseBenchmarkResults,
 )
 
 
@@ -147,3 +149,88 @@ class GtsamBundleAdjustmentBenchmark(BundleAdjustmentBenchmark):
         self.results = BundleAdjustmentBenchmarkResults(
             camera_mapping=camera_mapping, point_mapping=point_mapping
         )
+
+
+class GtsamSinglePoseBenchmark(SinglePoseBenchmark):
+    """Per-camera pose refinement with fixed landmarks (factor-graph
+    resectioning).
+
+    The reference's GTSAM single-pose benchmark is an empty stub
+    (reference src/benchmark/gtsam_benchmark/benchmark_single_pose.py:66-67);
+    this is a working implementation: one NonlinearFactorGraph per camera
+    with projection factors on a single Pose3 variable, landmarks pinned by
+    tight priors (GTSAM's projection factors require landmark variables).
+    Degrades to BaselineUnavailable without gtsam.
+    """
+
+    FRAMEWORK = "gtsam"
+    NAME = "GtsamSinglePoseBenchmark"
+
+    def benchmark(self, **_) -> None:
+        gtsam = _require_gtsam()
+        from gtsam import symbol_shorthand
+
+        from tpu3drecon.dataset.camera_pose import (
+            CameraPose,
+            CoordinateSystem,
+            TransformationDirection,
+        )
+        from tpu3drecon.dataset.model import Camera
+
+        X = symbol_shorthand.X
+        L = symbol_shorthand.L
+        pix_noise = gtsam.noiseModel.Isotropic.Sigma(2, 1.0)
+        pin_noise = gtsam.noiseModel.Isotropic.Sigma(3, 1e-6)
+
+        camera_mapping = {}
+        single_times = []
+        t_total = time.perf_counter()
+        for i, entry in enumerate(self.dataset.datasetEntries):
+            cam = entry.camera
+            intr = cam.camera_intrinsics
+            cal = gtsam.Cal3_S2(
+                intr.focal_x, intr.focal_y, intr.skew_factor or 0.0,
+                intr.center_x, intr.center_y,
+            )
+            c2w = cam.camera_pose.in_direction(TransformationDirection.C2W)
+            graph = gtsam.NonlinearFactorGraph()
+            initial = gtsam.Values()
+            initial.insert(
+                X(0),
+                gtsam.Pose3(gtsam.Rot3(c2w.rotation), gtsam.Point3(*c2w.translation)),
+            )
+            p2d, p3d = entry.map2d_3d(
+                self.dataset.points3D_mapped, zipped=False, np=True
+            )
+            for j, (uv, xyz) in enumerate(zip(np.asarray(p2d), np.asarray(p3d))):
+                graph.add(
+                    gtsam.GenericProjectionFactorCal3_S2(
+                        gtsam.Point2(*uv), pix_noise, X(0), L(j), cal
+                    )
+                )
+                initial.insert(L(j), gtsam.Point3(*xyz))
+                graph.add(gtsam.PriorFactorPoint3(L(j), gtsam.Point3(*xyz), pin_noise))
+
+            params = gtsam.LevenbergMarquardtParams()
+            params.setMaxIterations(100)
+            t0 = time.perf_counter()
+            values = gtsam.LevenbergMarquardtOptimizer(graph, initial, params).optimize()
+            single_times.append(time.perf_counter() - t0)
+
+            pose3 = values.atPose3(X(0))
+            pose = CameraPose(
+                np.asarray(pose3.rotation().matrix()),
+                np.asarray(pose3.translation()),
+                identifier=cam.camera_pose.identifier,
+                coordinate_system=CoordinateSystem.COLMAP,
+                direction=TransformationDirection.C2W,
+            )
+            camera_mapping[i] = Camera(
+                camera_pose=pose,
+                camera_intrinsics=intr,
+                width=cam.width,
+                height=cam.height,
+            )
+        self.time = time.perf_counter() - t_total
+        self.single_times = single_times
+        self.results = SinglePoseBenchmarkResults(camera_mapping=camera_mapping)

@@ -136,14 +136,26 @@ class CameraSet:
         width: int,
         height: int,
         binary: bool = True,
+        database_path: Optional[str] = None,
     ) -> None:
         """Write a points-free COLMAP sparse model of this camera set
-        (reference camera_set.py:61-124, minus the sqlite image-db remap —
-        image ids here are positional)."""
+        (reference camera_set.py:61-124).
+
+        With ``database_path`` set, image ids and filenames are remapped to
+        the entries of that COLMAP sqlite feature database (matching the
+        reference's behavior so a subsequent ``colmap point_triangulator``
+        pass joins poses to the database's features), and poses whose
+        identifier has no database row are dropped.  Without it, ids are
+        positional (1..N).
+        """
         import jax.numpy as jnp
 
         from tpu3drecon.geometry.rotations import matrix_to_quat
         from tpu3drecon.io import colmap as cio
+
+        id_name_by_identifier = None
+        if database_path is not None:
+            id_name_by_identifier = _read_image_db_mapping(database_path)
 
         k = np.asarray(intrinsics)
         cameras = {
@@ -155,17 +167,28 @@ class CameraSet:
                 params=np.array([k[0, 0], k[1, 1], k[0, 2], k[1, 2]]),
             )
         }
-        n = len(self.poses)
+        poses = self.poses
+        image_ids = None
+        if id_name_by_identifier is not None:
+            poses = [p_ for p_ in poses if p_.identifier in id_name_by_identifier]
+            image_ids = np.asarray(
+                [id_name_by_identifier[p_.identifier][0] for p_ in poses], np.int32
+            )
+        n = len(poses)
         qvecs = np.zeros((n, 4))
         tvecs = np.zeros((n, 3))
         names = []
-        for i, pose in enumerate(self.poses):
+        for i, pose in enumerate(poses):
             w2c = pose.in_direction(TransformationDirection.W2C)
             qvecs[i] = np.asarray(matrix_to_quat(jnp.asarray(w2c.rotation)))
             tvecs[i] = w2c.translation
-            names.append(pose.identifier or f"image_{i:04d}.jpg")
+            if id_name_by_identifier is not None:
+                names.append(id_name_by_identifier[pose.identifier][1])
+            else:
+                names.append(pose.identifier or f"image_{i:04d}.jpg")
         images = cio.ColmapImages(
-            image_ids=np.arange(1, n + 1, dtype=np.int32),
+            image_ids=image_ids if image_ids is not None
+            else np.arange(1, n + 1, dtype=np.int32),
             qvecs=qvecs,
             tvecs=tvecs,
             camera_ids=np.ones(n, np.int32),
@@ -181,3 +204,15 @@ class CameraSet:
             output_dir,
             binary=binary,
         )
+
+
+def _read_image_db_mapping(database_path: str) -> dict:
+    """identifier (filename stem) -> (image_id, filename) from a COLMAP
+    sqlite database's images table (reference camera_set.py:63-76)."""
+    import os
+    import sqlite3
+
+    rows = sqlite3.connect(database_path).execute(
+        "SELECT image_id, name FROM images"
+    ).fetchall()
+    return {os.path.splitext(name)[0]: (int(image_id), name) for image_id, name in rows}
