@@ -1,0 +1,57 @@
+"""Intrinsics + distortion refinement: recover perturbed fx/fy/k1/k2."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3drecon.dataset.synthetic import make_scene, scene_to_pose_problem
+from tpu3drecon.problems.packing import CameraParams
+from tpu3drecon.solvers.intrinsics_refine import refine_intrinsics
+from tpu3drecon.solvers.lm_core import LMConfig
+
+
+def _distorted_problem(seed=101, dist=(-0.15, 0.03)):
+    scene = make_scene(n_cameras=6, n_points=400, seed=seed, dist=dist)
+    problem, _ = scene_to_pose_problem(scene, dtype=jnp.float64)
+    return scene, problem
+
+
+def test_recovers_focal_and_distortion():
+    scene, problem = _distorted_problem()
+    rng = np.random.default_rng(3)
+    # Perturb intrinsics: +-2% focal, distortion zeroed (the common case: the
+    # input model carries no distortion estimate at all).
+    bad_cams = dataclasses.replace(
+        problem.cameras,
+        fx_fy=problem.cameras.fx_fy
+        * jnp.asarray(1.0 + rng.uniform(-0.02, 0.02, (scene.n_cameras, 2))),
+        dist=jnp.zeros_like(problem.cameras.dist),
+    )
+    bad = dataclasses.replace(problem, cameras=bad_cams)
+    cams, state = refine_intrinsics(bad, config=LMConfig(maxiter=80, gtol=1e-14))
+    np.testing.assert_allclose(
+        np.asarray(cams.fx_fy), scene.fx_fy, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(cams.dist), np.asarray(scene.dist), atol=1e-6
+    )
+    # Poses untouched.
+    np.testing.assert_array_equal(np.asarray(cams.rmats), np.asarray(problem.cameras.rmats))
+
+
+def test_focal_only_mode_freezes_distortion():
+    scene, problem = _distorted_problem(seed=102)
+    rng = np.random.default_rng(5)
+    bad_cams = dataclasses.replace(
+        problem.cameras,
+        fx_fy=problem.cameras.fx_fy
+        * jnp.asarray(1.0 + rng.uniform(-0.01, 0.01, (scene.n_cameras, 2))),
+    )
+    bad = dataclasses.replace(problem, cameras=bad_cams)
+    cams, state = refine_intrinsics(
+        bad, refine_distortion=False, config=LMConfig(maxiter=80, gtol=1e-14)
+    )
+    # Distortion stayed at the (correct) input values; focal recovered.
+    np.testing.assert_array_equal(np.asarray(cams.dist), np.asarray(bad_cams.dist))
+    np.testing.assert_allclose(np.asarray(cams.fx_fy), scene.fx_fy, rtol=1e-6)

@@ -181,7 +181,7 @@ def grid_from_flat(
 def grid_bucketed_from_flat(
     problem: BAProblem,
     obs_pad_multiple: int = 128,
-    bounds: Tuple[int, ...] = (2, 4, 8),
+    bounds: Tuple[int, ...] = (2, 3, 4, 8),
     point_block: int = 512,
     small_track: Optional[int] = None,
 ) -> BAGridBucketedProblem:
