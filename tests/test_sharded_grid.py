@@ -72,3 +72,20 @@ class TestShardedGrid:
         # Determinants of padding rotations are 1 (valid SO(3)).
         dets = np.linalg.det(np.asarray(padded.cameras.rmats)[8:])
         np.testing.assert_allclose(dets, 1.0, atol=1e-12)
+
+    def test_pallas_kernels_mode_matches_xla_mode(self, problem_pair):
+        """kernels='pallas' (fused per-shard kernels, interpret on CPU) must
+        reproduce the XLA-math sharded solve."""
+        _, grid = problem_pair
+        mesh = make_mesh(4)
+        cams_x, pts_x, st_x = ba_solve_grid_sharded(
+            grid, CONFIG, mesh=mesh, kernels="xla"
+        )
+        cams_p, pts_p, st_p = ba_solve_grid_sharded(
+            grid, CONFIG, mesh=mesh, kernels="pallas"
+        )
+        assert abs(int(st_p.accepted) - int(st_x.accepted)) <= 1
+        np.testing.assert_allclose(np.asarray(pts_p), np.asarray(pts_x), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cams_p.tvecs), np.asarray(cams_x.tvecs), atol=1e-6
+        )

@@ -157,6 +157,7 @@ def ba_solve_grid_sharded(
     config: BAConfig = BAConfig(),
     mesh: Optional[Mesh] = None,
     axis_name: Optional[str] = None,
+    kernels: str = "auto",
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Sharded bucketed-grid BA solve; replicated outputs matching
     ba_solve_grid / ba_solve_pallas (points un-permuted)."""
@@ -166,7 +167,7 @@ def ba_solve_grid_sharded(
         mesh = make_mesh(axis_name=axis_name or SHARD_AXIS)
     axis_name = axis_name or mesh.axis_names[0]
     placed = shard_grid_problem(problem, mesh, axis_name)
-    solver = make_sharded_grid_solver(mesh, config, axis_name, type(placed))
+    solver = make_sharded_grid_solver(mesh, config, axis_name, type(placed), kernels)
     cams, pts, state = solver(placed)
     pts = unpermute_points(pts, placed)
     state = state._replace(points3d=pts)
@@ -178,10 +179,20 @@ _SHARDED_GRID_CACHE: dict = {}
 
 def make_sharded_grid_solver(
     mesh: Mesh, config: BAConfig = BAConfig(), axis_name: str = SHARD_AXIS,
-    problem_type=BAGridBucketedProblem,
+    problem_type=BAGridBucketedProblem, kernels: str = "auto",
 ):
-    """Jitted shard_map solver for a mesh + config (cached)."""
-    key = (id(mesh), config, axis_name)
+    """Jitted shard_map solver for a mesh + config (cached).
+
+    ``kernels``: "pallas" uses the fused single-chip kernels
+    (ops/pallas/{cam_normal,coupling}) on each device's shard — the fast
+    engine IS the sharded engine; "xla" uses the grid-engine plane math;
+    "auto" picks pallas on TPU meshes and xla on CPU meshes (pallas on CPU
+    means interpret mode — fine for tests, slow at scale).
+    """
+    if kernels == "auto":
+        kernels = "pallas" if mesh.devices.ravel()[0].platform == "tpu" else "xla"
+    interpret = mesh.devices.ravel()[0].platform != "tpu"
+    key = (id(mesh), config, axis_name, kernels)
     if key in _SHARDED_GRID_CACHE:
         return _SHARDED_GRID_CACHE[key]
 
@@ -208,7 +219,10 @@ def make_sharded_grid_solver(
 
     def solve(placed):
         n_buckets = len(placed.buckets)
-        local = functools.partial(_solve_local, config=config, axis_name=axis_name)
+        local = functools.partial(
+            _solve_local, config=config, axis_name=axis_name,
+            kernels=kernels, interpret=interpret,
+        )
         out_specs = (
             CameraParams(rmats=rep, tvecs=rep, fx_fy=rep, cx_cy_skew=rep, dist=rep),
             rep,
@@ -233,7 +247,8 @@ def make_sharded_grid_solver(
     return solver
 
 
-def _solve_local(problem, *, config: BAConfig, axis_name: str):
+def _solve_local(problem, *, config: BAConfig, axis_name: str,
+                 kernels: str = "xla", interpret: bool = True):
     """Per-device solve body (runs inside shard_map on local shards)."""
     cams = problem.cameras  # camera-axis LOCAL shard
     dtype = problem.points3d.dtype
@@ -276,16 +291,51 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str):
             jp = jp * 0.0
         return b._replace(jc=jc, jp=jp)
 
+    def blocks_for_pallas(rmats, tvecs, fx_fy, points3d_full):
+        """Same outputs via the fused cam_normal kernel on the local shard
+        (+ local U/g for free); planes transposed into the grid layout the
+        shared matvec code reads."""
+        from tpu3drecon.ops.pallas.cam_normal import cam_normal_fused
+        from tpu3drecon.solvers.ba_grid import GridBlocks
+
+        c_l = problem.uv.shape[0]
+        x_w = jnp.transpose(points3d_full[problem.pt_idx], (0, 2, 1))
+        uv_t = jnp.transpose(problem.uv, (0, 2, 1))
+        inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+        r_pl, jp_pl, jc_pl, u0, g0 = cam_normal_fused(
+            rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist,
+            x_w, uv_t, problem.mask, inv_w, loss=config.loss,
+            interpret=interpret,
+        )
+        if not config.optimize_focal:
+            zero_rows = jnp.asarray([6, 7, 14, 15])
+            jc_pl = jc_pl.at[:, zero_rows, :].set(0.0)
+            keep = jnp.ones((8,), dtype).at[6:8].set(0.0)
+            u0 = u0 * keep[None, :, None] * keep[None, None, :]
+            g0 = g0 * keep[None, :]
+        if not config.optimize_points:
+            jp_pl = jp_pl * 0.0
+        r = jnp.transpose(r_pl, (0, 2, 1))  # (c_l, k, 2)
+        jc = jnp.transpose(jc_pl.reshape(c_l, 2, 8, k), (0, 3, 1, 2))
+        jp = jnp.transpose(jp_pl.reshape(c_l, 2, 3, k), (0, 3, 1, 2))
+        return GridBlocks(r=r, jc=jc, jp=jp), jc_pl, jp_pl, u0, g0
+
     def linearize(params, lam):
         rmats, tvecs, fx_fy, points3d_full = params
-        b = blocks_for(rmats, tvecs, fx_fy, points3d_full)
-        c_l = b.jc.shape[0]
-
-        # Camera side: local dense reductions.
-        jc2 = b.jc.reshape(c_l, k * 2, 8)
-        r2 = b.r.reshape(c_l, k * 2)
-        u = jnp.einsum("cni,cnj->cij", jc2, jc2)
-        g_cam = jnp.einsum("cni,cn->ci", jc2, r2)
+        jc_pl = jp_pl = None
+        if kernels == "pallas":
+            b, jc_pl, jp_pl, u, g_cam = blocks_for_pallas(
+                rmats, tvecs, fx_fy, points3d_full
+            )
+            c_l = b.jc.shape[0]
+        else:
+            b = blocks_for(rmats, tvecs, fx_fy, points3d_full)
+            c_l = b.jc.shape[0]
+            # Camera side: local dense reductions.
+            jc2 = b.jc.reshape(c_l, k * 2, 8)
+            r2 = b.r.reshape(c_l, k * 2)
+            u = jnp.einsum("cni,cnj->cij", jc2, jc2)
+            g_cam = jnp.einsum("cni,cn->ci", jc2, r2)
 
         # Transport packed [jp | r] rows to the point shards.
         jp_rows = b.jp.reshape(c_l * k, 6)
@@ -322,11 +372,25 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str):
         if config.precond == "schur_jacobi":
             # v_inv for the local camera rows' points: one all_gather per
             # linearization (the camera shard references arbitrary points).
-            vinv_full = gather_points(v_inv.reshape(-1, 9)).reshape(-1, 3, 3)
-            w_cell = jnp.einsum("ckri,ckrj->ckij", b.jc, b.jp)
-            vinv_g = vinv_full[problem.pt_idx]
-            wv = jnp.einsum("ckij,ckjl->ckil", w_cell, vinv_g)
-            coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
+            if kernels == "pallas":
+                from tpu3drecon.ops.pallas.coupling import coupling_fused
+
+                vinv6 = jnp.stack(
+                    [
+                        v_inv[:, 0, 0], v_inv[:, 0, 1], v_inv[:, 0, 2],
+                        v_inv[:, 1, 1], v_inv[:, 1, 2], v_inv[:, 2, 2],
+                    ],
+                    axis=1,
+                )
+                vinv6_full = gather_points(vinv6)
+                vinv6_g = jnp.transpose(vinv6_full[problem.pt_idx], (0, 2, 1))
+                coupling = coupling_fused(jc_pl, jp_pl, vinv6_g, interpret=interpret)
+            else:
+                vinv_full = gather_points(v_inv.reshape(-1, 9)).reshape(-1, 3, 3)
+                w_cell = jnp.einsum("ckri,ckrj->ckij", b.jc, b.jp)
+                vinv_g = vinv_full[problem.pt_idx]
+                wv = jnp.einsum("ckij,ckjl->ckil", w_cell, vinv_g)
+                coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
             precond_mat = u_d - coupling
         else:
             precond_mat = u_d
@@ -339,19 +403,23 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str):
         )
 
     def wt_times(nb, x_local):
-        """(W^T x) on the local point shard: all_gather the per-obs pair."""
+        """(W^T x) on the local point shard: all_gather the per-obs pair.
+
+        Payload stays f32 (2 floats/row): complex64 packing would halve the
+        collective bytes but the LOCAL gather of complex64 hits XLA's slow
+        path (measured 2.9x, RESULTS.md round 2), and gathers cost per row
+        anyway.
+        """
         c_l = nb.jc.shape[0]
         s = jnp.einsum("ckri,ci->ckr", nb.jc, x_local)  # (c_l, k, 2)
-        s_full = allgather(jax.lax.complex(s[..., 0], s[..., 1]).reshape(c_l * k))
+        s_full = allgather(s.reshape(c_l * k, 2))
         parts = []
         off = 0
         for bucket, jp_g in zip(problem.buckets, nb.buckets_jp_g):
             pb, tb = bucket.track_idx.shape
-            sg = s_full[bucket.track_idx]
-            s_g = (
-                jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1)
-                * bucket.track_mask[..., None]
-            ).reshape(pb, tb * 2)
+            s_g = (s_full[bucket.track_idx] * bucket.track_mask[..., None]).reshape(
+                pb, tb * 2
+            )
             parts.append(jnp.einsum("pni,pn->pi", jp_g, s_g))
             off += pb
         return jnp.concatenate(parts)  # point-axis LOCAL (sum over all cams)
