@@ -148,3 +148,62 @@ class TestTruncationFuzz:
             except Exception:
                 python_err = True
             assert native_err and python_err, f"cut={cut}: native_err={native_err} python_err={python_err}"
+
+
+class TestNativeBalTokenizer:
+    def test_native_matches_python(self, lib, tmp_path):
+        import numpy as np
+
+        from tpu3drecon.io.bal import read_bal, write_bal
+
+        rng = np.random.default_rng(17)
+        n_c, n_p, n_o = 4, 60, 180
+        cam_idx = rng.integers(0, n_c, n_o).astype(np.int32)
+        pt_idx = rng.integers(0, n_p, n_o).astype(np.int32)
+        uv = rng.normal(size=(n_o, 2)) * 300
+        cam_params = rng.normal(size=(n_c, 9))
+        points = rng.normal(size=(n_p, 3))
+        path = tmp_path / "p.txt"
+        write_bal(str(path), cam_idx, pt_idx, uv, cam_params, points)
+
+        native = read_bal(str(path), use_native=True)
+        python = read_bal(str(path), use_native=False)
+        for a, b in zip(native, python):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_native_faster_on_large_file(self, lib, tmp_path):
+        import time
+
+        import numpy as np
+
+        from tpu3drecon.io.bal import read_bal, write_bal
+
+        rng = np.random.default_rng(18)
+        n_c, n_p, n_o = 50, 40_000, 160_000
+        write_bal(
+            str(tmp_path / "big.txt"),
+            rng.integers(0, n_c, n_o).astype(np.int32),
+            rng.integers(0, n_p, n_o).astype(np.int32),
+            rng.normal(size=(n_o, 2)) * 300,
+            rng.normal(size=(n_c, 9)),
+            rng.normal(size=(n_p, 3)),
+        )
+        p = str(tmp_path / "big.txt")
+        t0 = time.perf_counter()
+        read_bal(p, use_native=False)
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        read_bal(p, use_native=True)
+        t_nt = time.perf_counter() - t0
+        assert t_nt < t_py, f"native {t_nt:.3f}s vs python {t_py:.3f}s"
+
+    def test_truncated_rejected_by_both(self, lib, tmp_path):
+        import pytest as _pytest
+
+        from tpu3drecon.io.bal import read_bal
+
+        bad = tmp_path / "bad.txt"
+        bad.write_text("3 2 1\n0 0 1.0")
+        for use_native in (True, False):
+            with _pytest.raises(ValueError, match="corrupt BAL file.*promises 3 cams"):
+                read_bal(str(bad), use_native=use_native)

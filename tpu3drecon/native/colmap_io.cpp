@@ -16,6 +16,7 @@
 //
 // Build: make -C tpu3drecon/native  (produces libcolmap_io.so)
 
+#include <charconv>
 #include <cstdint>
 #include <cstring>
 
@@ -191,3 +192,32 @@ int colmap_parse_images(const uint8_t* buf, uint64_t len, int32_t* image_ids,
 }
 
 }  // extern "C"
+
+// ---------------- BAL text files ----------------
+// BAL ("Bundle Adjustment in the Large") problems are whitespace-delimited
+// decimal text, often ~100 MB for the large problems; Python's
+// str.split + np.array tokenization is the ingest bottleneck.  This parses
+// every token with std::from_chars in one pass into a caller-allocated
+// double array.
+
+extern "C" int bal_parse_doubles(const char* buf, uint64_t len, double* out,
+                                 uint64_t n_expected, uint64_t* n_parsed) {
+  const char* p = buf;
+  const char* end = buf + len;
+  uint64_t n = 0;
+  while (p < end && n < n_expected) {
+    // Skip whitespace.
+    while (p < end && (*p == ' ' || *p == '\n' || *p == '\r' || *p == '\t')) ++p;
+    if (p >= end) break;
+    double v;
+    auto res = std::from_chars(p, end, v);
+    if (res.ec != std::errc()) {
+      *n_parsed = n;
+      return 3;  // bad token
+    }
+    out[n++] = v;
+    p = res.ptr;
+  }
+  *n_parsed = n;
+  return n == n_expected ? 0 : 1;  // kOk / kErrTruncated
+}
