@@ -1,0 +1,80 @@
+"""CLI end-to-end: solve-bal, solve-colmap (writeback), info."""
+
+import dataclasses
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu3drecon.cli import main
+
+
+@pytest.fixture(scope="module")
+def bal_file(tmp_path_factory):
+    from tests.test_bal import _make_bal_scene
+    from tpu3drecon.io.bal import write_bal
+
+    cam_idx, pt_idx, uv, cam_params, points = _make_bal_scene(seed=131)
+    # Noisy init so the solve has work to do.
+    rng = np.random.default_rng(2)
+    cam_params = cam_params.copy()
+    points = points + rng.normal(scale=0.01, size=points.shape)
+    path = tmp_path_factory.mktemp("cli") / "p.txt"
+    write_bal(str(path), cam_idx, pt_idx, uv, cam_params, points)
+    return str(path)
+
+
+def test_solve_bal_writes_output(bal_file, tmp_path, capsys):
+    out = tmp_path / "solved.txt"
+    rc = main([
+        "solve-bal", bal_file, "-o", str(out),
+        "--cpu", "--maxiter", "15", "--no-focal", "--f64",
+    ])
+    assert rc == 0
+    from tpu3drecon.io.bal import ba_problem_from_bal
+    from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
+
+    solved, _ = ba_problem_from_bal(str(out))
+    rmse = float(reprojection_rmse(solved, solved.cameras, solved.points3d))
+    assert rmse < 0.05
+
+
+def test_solve_colmap_writeback(tmp_path):
+    from tpu3drecon.dataset.synthetic import (
+        make_scene,
+        perturb_scene,
+        scene_to_colmap_model,
+    )
+    from tpu3drecon.io import colmap as cio
+
+    scene = make_scene(n_cameras=5, n_points=200, seed=7)
+    noisy = perturb_scene(scene, seed=8, point2d_noise=0.0)
+    model = scene_to_colmap_model(dataclasses.replace(noisy, uv=scene.uv))
+    src = tmp_path / "sparse"
+    dst = tmp_path / "sparse_opt"
+    cio.write_model(model, str(src), binary=True)
+
+    rc = main([
+        "solve-colmap", str(src), "-o", str(dst), "--binary",
+        "--cpu", "--maxiter", "25", "--f64",
+    ])
+    assert rc == 0
+    solved = cio.read_model(str(dst))
+    # Solution must differ from input (points moved toward GT) and keep ids.
+    np.testing.assert_array_equal(solved.points.ids, model.points.ids)
+    assert not np.allclose(np.asarray(solved.points.xyz), np.asarray(model.points.xyz))
+    from tpu3drecon.problems.packing import ba_problem_from_colmap
+    from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
+
+    problem, _ = ba_problem_from_colmap(solved)
+    rmse = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
+    assert rmse < 1e-3
+
+
+def test_info_runs(capsys):
+    rc = main(["info"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert "engines" in payload and payload["native_io"] in (True, False)

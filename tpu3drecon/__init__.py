@@ -8,4 +8,4 @@ Schur-complement solve, mesh sharding for multi-chip scale, and a
 benchmark/parity harness.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,204 @@
+"""Command-line interface: solve / refine / bench / info.
+
+The production entry point around the library (the reference drives
+everything from notebooks; a deployable framework needs a CLI):
+
+    python -m tpu3drecon info
+    python -m tpu3drecon solve-bal problem.txt [-o solved.txt] [--engine pallas]
+    python -m tpu3drecon solve-colmap sparse/ -o sparse_opt/ [--binary]
+    python -m tpu3drecon bench [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--f64", action="store_true", help="solve in float64")
+    p.add_argument("--maxiter", type=int, default=50)
+    p.add_argument("--cg-maxiter", type=int, default=30)
+    p.add_argument(
+        "--engine", choices=("flat", "grid", "pallas"), default="flat",
+        help="BA engine (pallas = fused-kernel fast path, TPU)",
+    )
+    p.add_argument("--no-focal", action="store_true", help="freeze focal lengths")
+    p.add_argument("--loss", choices=("trivial", "cauchy"), default="trivial")
+
+
+def _setup_backend(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from tpu3drecon.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    return jax
+
+
+def _config(args):
+    from tpu3drecon.geometry.losses import RobustLoss
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+
+    return BAConfig(
+        maxiter=args.maxiter,
+        cg_maxiter=args.cg_maxiter,
+        gtol=1e-10,
+        cg_rtol=1e-6,
+        optimize_focal=not args.no_focal,
+        loss=RobustLoss.CAUCHY if args.loss == "cauchy" else RobustLoss.TRIVIAL,
+    )
+
+
+def _solve(problem, args, jax):
+    import jax.numpy as jnp
+
+    from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
+
+    config = _config(args)
+    rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
+    if args.engine == "pallas":
+        from tpu3drecon.problems.grid import grid_bucketed_from_flat, unpermute_points
+        from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
+
+        grid = jax.device_put(grid_bucketed_from_flat(problem))
+        solver = make_pallas_ba_solver(
+            config, interpret=jax.default_backend() != "tpu"
+        )
+        run = lambda: solver(grid)  # noqa: E731
+    elif args.engine == "grid":
+        from tpu3drecon.problems.grid import grid_from_flat
+        from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
+
+        grid = jax.device_put(grid_from_flat(problem))
+        solver = make_grid_ba_solver(config)
+        run = lambda: solver(grid)  # noqa: E731
+    else:
+        solver = make_ba_solver(config)
+        run = lambda: solver(problem)  # noqa: E731
+
+    t0 = time.perf_counter()
+    cams, pts, state = run()
+    jax.block_until_ready(pts)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cams, pts, state = run()
+    jax.block_until_ready(pts)
+    solve_s = time.perf_counter() - t0
+    rmse1 = float(reprojection_rmse(problem, cams, pts))
+    print(
+        f"[tpu3drecon] {args.engine} engine on {jax.default_backend()}: "
+        f"RMSE {rmse0:.4f} -> {rmse1:.5f} px, "
+        f"{int(state.accepted)}/{int(state.iter_num)} iters accepted, "
+        f"solve {solve_s:.2f}s (compile {compile_s:.1f}s)",
+        file=sys.stderr,
+    )
+    return cams, pts, state
+
+
+def cmd_solve_bal(args):
+    jax = _setup_backend(args)
+    import jax.numpy as jnp
+
+    from tpu3drecon.io.bal import ba_problem_from_bal, export_bal
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    problem, meta = ba_problem_from_bal(args.input, dtype=dtype)
+    print(
+        f"[tpu3drecon] loaded {args.input}: {problem.n_cameras} cams / "
+        f"{problem.n_points} pts / {meta.n_real_obs} obs",
+        file=sys.stderr,
+    )
+    cams, pts, state = _solve(problem, args, jax)
+    if args.output:
+        export_bal(args.output, problem, cams, pts)
+        print(f"[tpu3drecon] wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_solve_colmap(args):
+    jax = _setup_backend(args)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu3drecon.io import colmap as cio
+    from tpu3drecon.problems.packing import ba_problem_from_colmap
+
+    model = cio.read_model(args.input)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    problem, meta = ba_problem_from_colmap(model, dtype=dtype)
+    print(
+        f"[tpu3drecon] loaded {args.input}: {problem.n_cameras} cams / "
+        f"{problem.n_points} pts / {meta.n_real_obs} obs",
+        file=sys.stderr,
+    )
+    cams, pts, state = _solve(problem, args, jax)
+    if args.output:
+        from tpu3drecon.problems.packing import colmap_model_with_solution
+
+        solved = colmap_model_with_solution(model, cams, pts, meta)
+        cio.write_model(solved, args.output, binary=args.binary)
+        print(f"[tpu3drecon] wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args):
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"] + (["--cpu"] if args.cpu else [])
+    return subprocess.call(cmd)
+
+
+def cmd_info(args):
+    import jax
+
+    import tpu3drecon
+    from tpu3drecon.io.colmap import native
+
+    devs = jax.devices()
+    print(json.dumps({
+        "version": getattr(tpu3drecon, "__version__", "0.2"),
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in devs],
+        "native_io": native.load_library() is not None,
+        "engines": ["flat (implicit Schur)", "grid (scatter-free)",
+                    "pallas (fused kernels)", "sharded_grid (multi-chip)"],
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu3drecon")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("solve-bal", help="bundle-adjust a BAL problem file")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default=None, help="write solved BAL file")
+    _add_common(p)
+    p.set_defaults(fn=cmd_solve_bal)
+
+    p = sub.add_parser("solve-colmap", help="bundle-adjust a COLMAP sparse model")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default=None, help="write solved sparse model")
+    p.add_argument("--binary", action="store_true", help="write .bin (default .txt)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_solve_colmap)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="backend + capability report")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -317,3 +317,72 @@ def ba_problem_from_colmap(
         n_real_obs=n_obs,
     )
     return problem, meta
+
+
+def colmap_model_with_solution(
+    model: ColmapModel,
+    cameras: CameraParams,
+    points3d,
+    meta: ProblemMeta,
+) -> ColmapModel:
+    """Write a BA solution back into a COLMAP model (new model, input
+    untouched).
+
+    Inverse of ``ba_problem_from_colmap``: packed camera rows map to image
+    ids via ``meta.camera_ids``, packed point rows to point3D ids via
+    ``meta.point_ids``; images/points the problem didn't cover keep their
+    original values.  Pose conversion runs in host float64 (device-side
+    conversions truncate to f32 on TPU — see io/bal.py).
+    """
+    import dataclasses
+
+    import jax
+
+    from tpu3drecon.geometry.rotations import matrix_to_quat_batch
+
+    rmats = np.asarray(jax.device_get(cameras.rmats), np.float64)
+    tvecs = np.asarray(jax.device_get(cameras.tvecs), np.float64)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import jax.numpy as jnp
+
+        qvecs_new = np.asarray(matrix_to_quat_batch(jnp.asarray(rmats)))
+
+    image_ids = np.asarray(model.images.image_ids)
+    row_of_image = {int(i): r for r, i in enumerate(image_ids)}
+    qvecs = np.asarray(model.images.qvecs).copy()
+    tvecs_out = np.asarray(model.images.tvecs).copy()
+    fx_fy = np.asarray(jax.device_get(cameras.fx_fy), np.float64)
+    new_cameras = dict(model.cameras)
+    for packed_row, image_id in enumerate(np.asarray(meta.camera_ids)):
+        r = row_of_image.get(int(image_id))
+        if r is None:
+            continue
+        qvecs[r] = qvecs_new[packed_row]
+        tvecs_out[r] = tvecs[packed_row]
+        # Solved focal lengths go back into the (possibly shared) camera
+        # record; with shared cameras the last packed row wins.
+        cam_id = int(model.images.camera_ids[r])
+        cam = new_cameras[cam_id]
+        params = np.asarray(cam.params, np.float64).copy()
+        from tpu3drecon.io.colmap.records import CameraModelType
+
+        if cam.model in (CameraModelType.PINHOLE, CameraModelType.OPENCV):
+            params[0:2] = fx_fy[packed_row]
+        else:  # single-focal families (SIMPLE_PINHOLE, SIMPLE_RADIAL, ...)
+            params[0] = fx_fy[packed_row, 0]
+        new_cameras[cam_id] = dataclasses.replace(cam, params=params)
+
+    xyz = np.asarray(model.points.xyz).copy()
+    pts = np.asarray(jax.device_get(points3d), np.float64)
+    if len(meta.point_ids):
+        rows = np.asarray(
+            [model.point_row_of_id(int(pid)) for pid in np.asarray(meta.point_ids)]
+        )
+        xyz[rows] = pts[: len(rows)]
+
+    return dataclasses.replace(
+        model,
+        cameras=new_cameras,
+        images=dataclasses.replace(model.images, qvecs=qvecs, tvecs=tvecs_out),
+        points=dataclasses.replace(model.points, xyz=xyz),
+    )
