@@ -232,31 +232,14 @@ def grid_bucketed_from_flat(
     def pad_to(n, m):
         return ((n + m - 1) // m) * m if n else 0
 
-    def build_bucket(rows, p_pad, t):
-        bi = np.zeros((p_pad, t), np.int32)
-        bc = np.zeros((p_pad, t), np.int32)
-        bm = np.zeros((p_pad, t), tmask.dtype)
-        n = len(rows)
-        bi[:n] = tidx[rows, :t]
-        bc[:n] = tcam[rows, :t]
-        bm[:n] = tmask[rows, :t]
-        return TrackBucket(
-            track_idx=jnp.asarray(bi),
-            track_cam=jnp.asarray(bc),
-            track_mask=jnp.asarray(bm),
-        )
-
-    buckets = []
-    offsets = []
+    offsets, kept_groups = [], []
     off = 0
-    kept_groups = []
     for rows, t in row_groups:
         if not len(rows):
             continue
         p_pad = pad_to(len(rows), point_block)
-        buckets.append(build_bucket(rows, p_pad, t))
         offsets.append(off)
-        kept_groups.append((rows, p_pad))
+        kept_groups.append((rows, p_pad, t))
         off += p_pad
 
     # Permuted + padded point array: [g0 pts | g0 pad | g1 pts | g1 pad | ...]
@@ -264,20 +247,70 @@ def grid_bucketed_from_flat(
     new_points = np.zeros((p_total, 3), points.dtype)
     point_rows = np.full(p_total, -1, np.int64)
     old_to_new = np.zeros(P, np.int64)
-    for (rows, p_pad), start in zip(kept_groups, offsets):
+    for (rows, p_pad, _t), start in zip(kept_groups, offsets):
         new_points[start : start + len(rows)] = points[rows]
         point_rows[start : start + len(rows)] = rows
         old_to_new[rows] = start + np.arange(len(rows))
     new_pt_idx = old_to_new[gpt].astype(np.int32)
     # Padded grid cells keep mask 0; their pt_idx points at row old_to_new[0].
 
+    # Row-sort: order each camera row's observations by the FINAL point index
+    # (padding cells last).  Semantically neutral (obs order within a row is
+    # arbitrary).  In-context A/B measured this NEUTRAL for solve time (the
+    # serial-microbench 25% sorted-gather win does not transfer: the solve's
+    # gathers already pipeline) — kept because deterministic monotone access
+    # patterns cost nothing and simplify reasoning about transports.
+    guv = np.asarray(base.uv)
+    gmask = np.asarray(base.mask)
+    C, K = gmask.shape
+    sort_key = np.where(gmask > 0, new_pt_idx, np.iinfo(np.int32).max)
+    order = np.argsort(sort_key, axis=1, kind="stable")
+    rowsel = np.arange(C)[:, None]
+    guv = guv[rowsel, order]
+    gmask = gmask[rowsel, order]
+    new_pt_idx = new_pt_idx[rowsel, order]
+
+    # Rebuild the track tables against the row-sorted layout + permuted
+    # point rows (the base table indexes the pre-sort flat cells).
+    real = gmask.reshape(-1) > 0
+    flat_pos = np.nonzero(real)[0].astype(np.int64)  # camera-major order
+    pids_new = new_pt_idx.reshape(-1)[real].astype(np.int64)
+    cams_of = (flat_pos // K).astype(np.int32)
+    porder = np.argsort(pids_new, kind="stable")
+    p_of = pids_new[porder]
+    flat_of = flat_pos[porder]
+    cam_of = cams_of[porder]
+    counts = np.bincount(p_of, minlength=p_total)
+    pstarts = np.zeros(p_total + 1, np.int64)
+    np.cumsum(counts, out=pstarts[1:])
+    plocal = (np.arange(len(p_of)) - pstarts[p_of]).astype(np.int64)
+
+    buckets = []
+    for (rows, p_pad, t), start in zip(kept_groups, offsets):
+        bi = np.zeros((p_pad, t), np.int32)
+        bc = np.zeros((p_pad, t), np.int32)
+        bm = np.zeros((p_pad, t), tmask.dtype)
+        in_bucket = (p_of >= start) & (p_of < start + p_pad)
+        pr = p_of[in_bucket] - start
+        pl = plocal[in_bucket]
+        bi[pr, pl] = flat_of[in_bucket].astype(np.int32)
+        bc[pr, pl] = cam_of[in_bucket]
+        bm[pr, pl] = 1.0
+        buckets.append(
+            TrackBucket(
+                track_idx=jnp.asarray(bi),
+                track_cam=jnp.asarray(bc),
+                track_mask=jnp.asarray(bm),
+            )
+        )
+
     dtype = problem.uv.dtype
     return BAGridBucketedProblem(
         cameras=base.cameras,
         points3d=jnp.asarray(new_points, dtype),
-        uv=base.uv,
+        uv=jnp.asarray(guv, dtype),
         pt_idx=jnp.asarray(new_pt_idx),
-        mask=base.mask,
+        mask=jnp.asarray(gmask, dtype),
         buckets=tuple(buckets),
         avg_cam_width=base.avg_cam_width,
         point_rows=jnp.asarray(point_rows.astype(np.int32)),
