@@ -43,7 +43,7 @@ class TestGridPacking:
                     assert gpt[tidx[p, t]] == p
 
 
-@pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY])
+@pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY, RobustLoss.HUBER])
 class TestGridBlocks:
     def test_matches_flat_blocks(self, flat_problem, grid_problem, loss):
         cams = flat_problem.cameras

@@ -27,7 +27,7 @@ def _planes_inputs(grid):
     return cams, x_w, uv
 
 
-@pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY])
+@pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY, RobustLoss.HUBER])
 def test_cam_normal_matches_grid_engine(grid, loss):
     cams, x_w, uv = _planes_inputs(grid)
     inv_w = jnp.asarray(1.0, jnp.float32) / grid.avg_cam_width

@@ -67,7 +67,7 @@ def _cam_normal_kernel(
     u_ref,  # (1, 8, 8) out
     g_ref,  # (1, 1, 8) out
     *,
-    cauchy: bool,
+    loss_mode: int,
 ):
     cam = pl.program_id(0)
     # SMEM only supports scalar loads.
@@ -110,9 +110,12 @@ def _cam_normal_kernel(
     r0 = u_px - uv_ref[0, 0, :]
     r1 = v_px - uv_ref[0, 1, :]
     s = r0 * r0 + r1 * r1
-    if cauchy:
+    # IRLS weights, matching geometry.losses.robust_weight exactly.
+    if loss_mode == 1:  # cauchy
         w = 1.0 / (1.0 + s)
-    else:
+    elif loss_mode == 2:  # huber (delta = 1)
+        w = jnp.where(s <= 1.0, jnp.ones_like(s), 1.0 / jnp.sqrt(jnp.maximum(s, 1.0)))
+    else:  # trivial
         w = jnp.ones_like(s)
     scale = jnp.sqrt(w) * mask * inv_w
 
@@ -217,9 +220,8 @@ def cam_normal_fused(
     dtype = x_w.dtype
     params = pack_camera_params(rmats, tvecs, fx_fy, cx_cy_skew, inv_width, dist)
 
-    kernel = functools.partial(
-        _cam_normal_kernel, cauchy=(loss == RobustLoss.CAUCHY)
-    )
+    mode = {RobustLoss.TRIVIAL: 0, RobustLoss.CAUCHY: 1, RobustLoss.HUBER: 2}[loss]
+    kernel = functools.partial(_cam_normal_kernel, loss_mode=mode)
     # Mosaic requires the last two block dims to equal the array dims (or be
     # tile multiples): params ride whole in SMEM (indexed by program_id),
     # mask/g get a unit middle axis.
