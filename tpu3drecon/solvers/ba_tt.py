@@ -1,0 +1,491 @@
+"""Track-table bundle adjustment: the gather-free engine.
+
+Same LM/implicit-Schur algorithm and trust-region control as the
+flat/grid/pallas engines (equality asserted in tests/test_ba_tt.py), but the
+entire solve runs on the bucketed track table of problems/tt.py:
+
+  - camera parameters per slot, U/g_cam accumulation, the Schur-coupling
+    halves (W x and the camera reduce of W^T-products) are all contractions
+    against the precomputed {0,1} one-hot matrix — MXU matmuls streaming at
+    HBM bandwidth, ZERO per-row gathers anywhere in the solve;
+  - point-side quantities (V, g_pt, v_inv, back-substitution) are dense
+    reductions over the T axis — the table is point-major, so the point
+    broadcast in every coupling matvec is free;
+  - everything is scalar *planes* with the big slot axis last (no trailing
+    2/3/8 dims, so no (8, 128) tile padding).
+
+Per LM iteration this moves ~an order of magnitude fewer HBM bytes than the
+grid engine's grid<->track transports (RESULTS.md round-2 rate model); the
+price is the O(C * slots) one-hot, which caps the layout at moderate camera
+counts (see problems/tt.py).
+
+Reference contrast: the reference's BA materializes a dense Jacobian through
+jaxopt (src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91) and
+is capped at 15 cams / 400 pts; this engine exists purely as a TPU layout
+specialization — there is nothing comparable to copy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drecon.geometry.losses import robust_weight
+from tpu3drecon.ops.jacobians import apply_se3_retraction
+from tpu3drecon.problems.grid import unpermute_points
+from tpu3drecon.problems.packing import CameraParams
+from tpu3drecon.problems.tt import BATTProblem, TTBucket
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.trust_region import trust_region_solve
+
+# Column layout of the packed per-camera parameter table fed through the
+# one-hot matmul: rmat row-major (9) | tvec (3) | fx fy | cx cy skew | k1 k2.
+_CAM_TABLE_DIM = 19
+
+
+def _cam_table(rmats, tvecs, fx_fy, cx_cy_skew, dist) -> jax.Array:
+    C = rmats.shape[0]
+    return jnp.concatenate(
+        [rmats.reshape(C, 9), tvecs, fx_fy, cx_cy_skew, dist], axis=1
+    )
+
+
+def _cam_planes(table: jax.Array, bucket: TTBucket) -> jax.Array:
+    """Per-slot camera parameters: (D, Tb, Pb) via one one-hot matmul."""
+    tb, pb = bucket.mask.shape
+    planes = jnp.einsum("cd,cn->dn", table, bucket.onehot)
+    return planes.reshape(table.shape[1], tb, pb)
+
+
+def _reduce_to_cams(planes: jax.Array, bucket: TTBucket) -> jax.Array:
+    """Sum slot planes (D, Tb, Pb) into per-camera rows (C, D)."""
+    d = planes.shape[0]
+    return jnp.einsum("dn,cn->cd", planes.reshape(d, -1), bucket.onehot)
+
+
+class TTBlocks(NamedTuple):
+    r: jax.Array  # (2, Tb, Pb) whitened residual planes
+    jc: jax.Array  # (16, Tb, Pb) camera-Jacobian planes (row0 0..7, row1 8..15)
+    jp: jax.Array  # (6, Tb, Pb) point-Jacobian planes (row0 0..2, row1 3..5)
+
+
+def _tt_blocks(
+    cam_planes: jax.Array,
+    pts_planes: jax.Array,
+    bucket: TTBucket,
+    inv_w: jax.Array,
+    config: BAConfig,
+) -> TTBlocks:
+    """Residual/Jacobian planes per slot — identical formulas to
+    solvers/ba_grid.grid_blocks (incl. the radial chain A = s I + g m m^T),
+    with camera scalars as per-slot planes and the point broadcast free."""
+    dtype = cam_planes.dtype
+    cp = cam_planes
+    X = pts_planes[0][None, :]
+    Y = pts_planes[1][None, :]
+    Z = pts_planes[2][None, :]
+
+    x = cp[0] * X + cp[1] * Y + cp[2] * Z + cp[9]
+    y = cp[3] * X + cp[4] * Y + cp[5] * Z + cp[10]
+    z = cp[6] * X + cp[7] * Y + cp[8] * Z + cp[11]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
+    iz = 1.0 / z_safe
+    fx, fy = cp[12], cp[13]
+    cx, cy, sk = cp[14], cp[15], cp[16]
+    k1, k2 = cp[17], cp[18]
+
+    mx = x * iz
+    my = y * iz
+    r2 = mx * mx + my * my
+    s_rad = 1.0 + k1 * r2 + k2 * r2 * r2
+    g_rad = 2.0 * k1 + 4.0 * k2 * r2
+    mdx = s_rad * mx
+    mdy = s_rad * my
+
+    u = fx * mdx + sk * mdy + cx
+    v = fy * mdy + cy
+    r0 = u - bucket.uv[0]
+    r1 = v - bucket.uv[1]
+    s = r0 * r0 + r1 * r1
+    w = robust_weight(config.loss, jax.lax.stop_gradient(s))
+    scale = jnp.sqrt(w) * bucket.mask * inv_w
+
+    axx = s_rad + g_rad * mx * mx
+    axy = g_rad * mx * my
+    ayy = s_rad + g_rad * my * my
+    b00 = axx * iz
+    b01 = axy * iz
+    b02 = -(axx * mx + axy * my) * iz
+    b10 = axy * iz
+    b11 = ayy * iz
+    b12 = -(axy * mx + ayy * my) * iz
+
+    a11 = fx * b00 + sk * b10
+    a12 = fx * b01 + sk * b11
+    a13 = fx * b02 + sk * b12
+    a21 = fy * b10
+    a22 = fy * b11
+    a23 = fy * b12
+
+    jr00 = -a12 * z + a13 * y
+    jr01 = a11 * z - a13 * x
+    jr02 = -a11 * y + a12 * x
+    jr10 = -a22 * z + a23 * y
+    jr11 = a21 * z - a23 * x
+    jr12 = -a21 * y + a22 * x
+
+    zero = jnp.zeros_like(a11)
+    jc_rows = [
+        jr00, jr01, jr02, a11, a12, a13, mdx, zero,
+        jr10, jr11, jr12, a21, a22, a23, zero, mdy,
+    ]
+
+    # J_pt = dpi @ R (per-slot rotation planes).
+    jp_rows = [
+        a11 * cp[0] + a12 * cp[3] + a13 * cp[6],
+        a11 * cp[1] + a12 * cp[4] + a13 * cp[7],
+        a11 * cp[2] + a12 * cp[5] + a13 * cp[8],
+        a21 * cp[0] + a22 * cp[3] + a23 * cp[6],
+        a21 * cp[1] + a22 * cp[4] + a23 * cp[7],
+        a21 * cp[2] + a22 * cp[5] + a23 * cp[8],
+    ]
+
+    jc = jnp.stack(jc_rows) * scale[None]
+    jp = jnp.stack(jp_rows) * scale[None]
+    r = jnp.stack([r0, r1]) * scale[None]
+    if not config.optimize_focal:
+        jc = jc.at[jnp.asarray([6, 7, 14, 15])].set(0.0)
+    if not config.optimize_points:
+        jp = jp * 0.0
+    return TTBlocks(r=r, jc=jc, jp=jp)
+
+
+def _sym3_inv_planes(v: jax.Array) -> jax.Array:
+    """Closed-form inverse of symmetric 3x3s in plane form.
+
+    ``v`` holds the 6 components (00, 01, 02, 11, 12, 22) as leading axis;
+    returns the inverse in the same packing (same math as schur.inv3x3)."""
+    a, b, c, d, e, f = v[0], v[1], v[2], v[3], v[4], v[5]
+    co_a = d * f - e * e
+    co_b = c * e - b * f
+    co_c = b * e - c * d
+    det = a * co_a + b * co_b + c * co_c
+    det_safe = jnp.where(jnp.abs(det) < 1e-32, 1.0, det)
+    inv_det = 1.0 / det_safe
+    return jnp.stack(
+        [
+            co_a * inv_det,
+            co_b * inv_det,
+            co_c * inv_det,
+            (a * f - c * c) * inv_det,
+            (b * c - a * e) * inv_det,
+            (a * d - b * b) * inv_det,
+        ]
+    )
+
+
+def _sym3_matvec(m6: jax.Array, x: jax.Array) -> jax.Array:
+    """(3, P) = sym3(m6) @ x with both in plane form."""
+    return jnp.stack(
+        [
+            m6[0] * x[0] + m6[1] * x[1] + m6[2] * x[2],
+            m6[1] * x[0] + m6[3] * x[1] + m6[4] * x[2],
+            m6[2] * x[0] + m6[4] * x[1] + m6[5] * x[2],
+        ]
+    )
+
+
+_TRIU8 = [(i, j) for i in range(8) for j in range(i, 8)]  # 36 upper pairs
+
+
+def _unpack_sym8(cols: jax.Array) -> jax.Array:
+    """(C, 36) upper-triangle columns -> (C, 8, 8) symmetric."""
+    C = cols.shape[0]
+    out = jnp.zeros((C, 8, 8), cols.dtype)
+    for k, (i, j) in enumerate(_TRIU8):
+        out = out.at[:, i, j].set(cols[:, k])
+        if i != j:
+            out = out.at[:, j, i].set(cols[:, k])
+    return out
+
+
+class TTBucketNormal(NamedTuple):
+    jc: jax.Array  # (16, Tb, Pb)
+    jp: jax.Array  # (6, Tb, Pb)
+    v_inv: jax.Array  # (6, Pb) sym planes
+    g_pt: jax.Array  # (3, Pb)
+    damp_pt: jax.Array  # (3, Pb)
+
+
+class TTNormal(NamedTuple):
+    u: jax.Array  # (C, 8, 8) damped
+    u_chol: jax.Array  # (C, 8, 8) cholesky of the preconditioner
+    g_cam: jax.Array  # (C, 8)
+    damp_cam: jax.Array  # (C, 8)
+    buckets: Tuple[TTBucketNormal, ...]
+
+
+def _wt_times_bucket(bn: TTBucketNormal, x_cam: jax.Array, bucket: TTBucket):
+    """(W^T x) for one bucket: one one-hot matmul + dense T reductions."""
+    tb, pb = bucket.mask.shape
+    xg = jnp.einsum("ci,cn->in", x_cam, bucket.onehot).reshape(8, tb, pb)
+    s0 = sum(bn.jc[i] * xg[i] for i in range(8))
+    s1 = sum(bn.jc[8 + i] * xg[i] for i in range(8))
+    return jnp.stack(
+        [
+            jnp.sum(bn.jp[0] * s0 + bn.jp[3] * s1, axis=0),
+            jnp.sum(bn.jp[1] * s0 + bn.jp[4] * s1, axis=0),
+            jnp.sum(bn.jp[2] * s0 + bn.jp[5] * s1, axis=0),
+        ]
+    )
+
+
+def _w_times_bucket(bn: TTBucketNormal, y_pt: jax.Array, bucket: TTBucket):
+    """(W y) camera rows for one bucket; ``y_pt`` is (3, Pb) planes."""
+    s0 = bn.jp[0] * y_pt[0][None] + bn.jp[1] * y_pt[1][None] + bn.jp[2] * y_pt[2][None]
+    s1 = bn.jp[3] * y_pt[0][None] + bn.jp[4] * y_pt[1][None] + bn.jp[5] * y_pt[2][None]
+    z = jnp.stack([bn.jc[i] * s0 + bn.jc[8 + i] * s1 for i in range(8)])
+    return _reduce_to_cams(z, bucket)
+
+
+def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem: BATTProblem):
+    out = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+    for bn, bucket in zip(nb.buckets, problem.buckets):
+        wtx = _wt_times_bucket(bn, x_cam, bucket)
+        out = out - _w_times_bucket(bn, _sym3_matvec(bn.v_inv, wtx), bucket)
+    return out
+
+
+def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
+    rmats, tvecs, fx_fy, points3d = params
+    dtype = points3d.dtype
+    cams = problem.cameras
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist)
+    inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+
+    u_cols = jnp.zeros((rmats.shape[0], 36), dtype)
+    g_cols = jnp.zeros((rmats.shape[0], 8), dtype)
+    coup_cols = jnp.zeros((rmats.shape[0], 36), dtype)
+    bucket_normals = []
+    for bucket, off in zip(problem.buckets, problem.bucket_offsets):
+        tb, pb = bucket.mask.shape
+        pts = jax.lax.dynamic_slice_in_dim(points3d, off, pb).T  # (3, Pb)
+        cp = _cam_planes(table, bucket)
+        blocks = _tt_blocks(cp, pts, bucket, inv_w, config)
+        jc, jp, r = blocks.jc, blocks.jp, blocks.r
+
+        # Point-side normal: dense over T.
+        v6 = jnp.stack(
+            [
+                jnp.sum(jp[i] * jp[j] + jp[3 + i] * jp[3 + j], axis=0)
+                for (i, j) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            ]
+        )  # (6, Pb)
+        g_pt = jnp.stack(
+            [jnp.sum(jp[i] * r[0] + jp[3 + i] * r[1], axis=0) for i in range(3)]
+        )
+        dv = jnp.clip(v6[jnp.asarray([0, 3, 5])], 1e-8, None)
+        damp_pt = lam * dv
+        v6_d = v6.at[jnp.asarray([0, 3, 5])].add(damp_pt)
+        v_inv = _sym3_inv_planes(v6_d)
+
+        # Camera-side contributions, one fused one-hot reduce:
+        # 36 U upper-triangle planes + 8 gradient planes (+ 36 coupling).
+        contribs = [jc[i] * jc[j] + jc[8 + i] * jc[8 + j] for (i, j) in _TRIU8]
+        contribs += [jc[i] * r[0] + jc[8 + i] * r[1] for i in range(8)]
+        if config.precond == "schur_jacobi":
+            # Exact S-diagonal contribution per slot: W v_inv W^T with
+            # W = jc_row0 (x) jp_row0 + jc_row1 (x) jp_row1 (8x3) and v_inv
+            # broadcast from the point side (free: the table is point-major).
+            w_slot = [
+                [jc[i] * jp[l] + jc[8 + i] * jp[3 + l] for l in range(3)]
+                for i in range(8)
+            ]
+            vi = [
+                [v_inv[0], v_inv[1], v_inv[2]],
+                [v_inv[1], v_inv[3], v_inv[4]],
+                [v_inv[2], v_inv[4], v_inv[5]],
+            ]
+            wv = [
+                [
+                    sum(w_slot[i][j] * vi[j][l][None] for j in range(3))
+                    for l in range(3)
+                ]
+                for i in range(8)
+            ]
+            contribs += [
+                sum(wv[i][l] * w_slot[j][l] for l in range(3))
+                for (i, j) in _TRIU8
+            ]
+        reduced = _reduce_to_cams(jnp.stack(contribs), bucket)
+        u_cols = u_cols + reduced[:, :36]
+        g_cols = g_cols + reduced[:, 36:44]
+        if config.precond == "schur_jacobi":
+            coup_cols = coup_cols + reduced[:, 44:80]
+        bucket_normals.append(
+            TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
+        )
+
+    u0 = _unpack_sym8(u_cols)
+    g_cam = g_cols
+    eye8 = jnp.eye(8, dtype=dtype)
+    du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
+    damp_cam = lam * du
+    u_d = u0 + damp_cam[..., None] * eye8
+    if config.precond == "schur_jacobi":
+        precond_mat = u_d - _unpack_sym8(coup_cols)
+    else:
+        precond_mat = u_d
+    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+
+    return TTNormal(
+        u=u_d,
+        u_chol=u_chol,
+        g_cam=g_cam,
+        damp_cam=damp_cam,
+        buckets=tuple(bucket_normals),
+    )
+
+
+def _pcg(nb: TTNormal, b: jax.Array, problem: BATTProblem, maxiter, rtol):
+    dtype = b.dtype
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    def precond(r):
+        return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
+            nb.u_chol, r
+        )
+
+    z0 = precond(b)
+    rz0 = dot(b, z0)
+    tol2 = jnp.asarray(rtol, dtype) ** 2 * jnp.maximum(dot(b, b), 1e-32)
+
+    def cond(st):
+        _, r, _, _, _, i = st
+        return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
+
+    def body(st):
+        x, r, z, p, rz, i = st
+        sp = _schur_matvec(nb, p, problem)
+        psp = dot(p, sp)
+        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
+        x = x + alpha * p
+        r = r - alpha * sp
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
+        return (x, r, z, z + beta * p, rz_new, i + 1)
+
+    x, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    )
+    return x, iters
+
+
+def _cost(params, problem: BATTProblem, config: BAConfig) -> jax.Array:
+    rmats, tvecs, fx_fy, points3d = params
+    dtype = points3d.dtype
+    cams = problem.cameras
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist)
+    inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+    total = jnp.zeros((), dtype)
+    for bucket, off in zip(problem.buckets, problem.bucket_offsets):
+        tb, pb = bucket.mask.shape
+        pts = jax.lax.dynamic_slice_in_dim(points3d, off, pb).T
+        cp = _cam_planes(table, bucket)
+        x = cp[0] * pts[0][None] + cp[1] * pts[1][None] + cp[2] * pts[2][None] + cp[9]
+        y = cp[3] * pts[0][None] + cp[4] * pts[1][None] + cp[5] * pts[2][None] + cp[10]
+        z = cp[6] * pts[0][None] + cp[7] * pts[1][None] + cp[8] * pts[2][None] + cp[11]
+        iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
+        mx = x * iz
+        my = y * iz
+        r2 = mx * mx + my * my
+        s_rad = 1.0 + cp[17] * r2 + cp[18] * r2 * r2
+        u = cp[12] * s_rad * mx + cp[16] * s_rad * my + cp[14]
+        v = cp[13] * s_rad * my + cp[15]
+        r0 = u - bucket.uv[0]
+        r1 = v - bucket.uv[1]
+        s = r0 * r0 + r1 * r1
+        w = robust_weight(config.loss, jax.lax.stop_gradient(s))
+        total = total + 0.5 * jnp.sum(s * w * (bucket.mask * inv_w) ** 2)
+    return total
+
+
+def ba_solve_tt(
+    problem: BATTProblem, config: BAConfig = BAConfig()
+) -> Tuple[CameraParams, jax.Array, BAState]:
+    """Track-table BA solve; same (cameras, points, BAState) outputs and the
+    same trust-region trajectory as ba_solve/ba_solve_grid/ba_solve_pallas."""
+    with jax.default_matmul_precision("highest"):
+        cams, pts, state = _ba_solve_tt_impl(problem, config)
+        pts = unpermute_points(pts, problem)
+        state = state._replace(points3d=pts)
+        return cams, pts, state
+
+
+def _ba_solve_tt_impl(problem: BATTProblem, config: BAConfig):
+    cams = problem.cameras
+    dtype = problem.points3d.dtype
+    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, problem.points3d)
+
+    def propose(params, lam):
+        nb = _linearize(params, lam, problem, config)
+        gp_max = jnp.asarray(0.0, dtype)
+        for bn in nb.buckets:
+            gp_max = jnp.maximum(gp_max, jnp.max(jnp.abs(bn.g_pt)))
+        grad_norm = jnp.maximum(
+            jnp.max(jnp.abs(nb.g_cam)), gp_max if config.optimize_points else 0.0
+        )
+
+        b = -nb.g_cam
+        for bn, bucket in zip(nb.buckets, problem.buckets):
+            b = b + _w_times_bucket(bn, _sym3_matvec(bn.v_inv, bn.g_pt), bucket)
+        dc, cg_iters = _pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
+
+        dps = []
+        pred = 0.5 * (jnp.sum(dc * (nb.damp_cam * dc)) - jnp.sum(dc * nb.g_cam))
+        for bn, bucket in zip(nb.buckets, problem.buckets):
+            wtx = _wt_times_bucket(bn, dc, bucket)
+            dp = _sym3_matvec(bn.v_inv, -bn.g_pt - wtx)  # (3, Pb)
+            if not config.optimize_points:
+                dp = dp * 0.0
+            pred = pred + 0.5 * (
+                jnp.sum(dp * (bn.damp_pt * dp)) - jnp.sum(dp * bn.g_pt)
+            )
+            dps.append(dp.T)  # (Pb, 3)
+        return (dc, dps), grad_norm, pred, cg_iters
+
+    def apply_step(params, delta):
+        rmats, tvecs, fx_fy, points3d = params
+        dc, dps = delta
+        new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc)
+        return (new_r, new_t, new_f, points3d + jnp.concatenate(dps, axis=0))
+
+    cost = functools.partial(_cost, problem=problem, config=config)
+    final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
+    rmats, tvecs, fx_fy, points3d = final.params
+    cameras_out = CameraParams(
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
+        dist=cams.dist,
+    )
+    state = BAState(
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, points3d=points3d,
+        loss=final.loss, lam=final.lam, nu=final.nu, iter_num=final.iter_num,
+        accepted=final.accepted, grad_norm=final.grad_norm,
+        converged=final.converged, cg_iters=final.cg_iters, gain=final.gain,
+    )
+    return cameras_out, points3d, state
+
+
+_TT_SOLVER_CACHE: dict = {}
+
+
+def make_tt_ba_solver(config: BAConfig = BAConfig()):
+    if config not in _TT_SOLVER_CACHE:
+        _TT_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_tt(p, config))
+    return _TT_SOLVER_CACHE[config]
