@@ -6,9 +6,11 @@ fixed 30-outer-iteration implicit-Schur LM solve (identical deterministic
 work on every backend) and reports wall time against the recorded CPU
 reference of THIS solver on this host.
 
-Engine: the Pallas fused-kernel path (solvers/ba_pallas.py) on TPU, falling
-back to the flat XLA engine if the kernels fail to compile; the CPU baseline
-is the flat engine (the fastest CPU configuration).
+Engine: the track-table one-hot engine (solvers/ba_tt.py) on TPU — the
+gather-free layout, measured 3.5x the pallas engine in interleaved A/B
+(RESULTS.md round 2) — falling back to the Pallas fused-kernel path and then
+the flat XLA engine; the CPU baseline is the flat engine (the fastest CPU
+configuration).
 
 vs_baseline semantics: CPU_BASELINE_S / tpu_time — i.e. the speedup over the
 strongest available CPU reference.  Note the original reference
@@ -89,9 +91,22 @@ def main(force_cpu: bool = False) -> None:
     )
     from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
 
-    engine = "pallas"
+    engine = "tt"
     if force_cpu:
-        engine = "flat"  # pallas kernels target TPU; CPU baseline = flat XLA
+        engine = "flat"  # device engines target TPU; CPU baseline = flat XLA
+    if engine == "tt":
+        try:
+            from tpu3drecon.problems.tt import tt_from_flat
+            from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
+
+            flat_host = build_problem(on_host=True)
+            problem = jax.device_put(tt_from_flat(flat_host))
+            solver = make_tt_ba_solver(BENCH_CONFIG)
+            compile_s, run_s, (cams, pts, state) = timed_solve(
+                solver, problem, repeats=2
+            )
+        except Exception:
+            engine = "pallas"
     if engine == "pallas":
         try:
             from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
@@ -109,7 +124,7 @@ def main(force_cpu: bool = False) -> None:
         compile_s, run_s, (cams, pts, state) = timed_solve(solver, problem, repeats=2)
 
     eval_problem = (
-        build_problem(on_host=not force_cpu) if engine == "pallas" else problem
+        build_problem(on_host=not force_cpu) if engine in ("tt", "pallas") else problem
     )
     rmse = float(jax.device_get(reprojection_rmse(eval_problem, cams, pts)))
 

@@ -74,12 +74,18 @@ class TestTTPacking:
             tt_from_flat(flat_problem, point_block=64, max_onehot_bytes=16)
 
 
-@pytest.mark.parametrize("loss", [RobustLoss.TRIVIAL, RobustLoss.CAUCHY])
-@pytest.mark.parametrize("precond", ["jacobi_u", "schur_jacobi"])
+@pytest.mark.parametrize(
+    "loss,precond",
+    [
+        (RobustLoss.TRIVIAL, "jacobi_u"),
+        (RobustLoss.TRIVIAL, "schur_jacobi"),
+        (RobustLoss.CAUCHY, "schur_jacobi"),
+    ],
+)
 class TestTTSolveEquality:
     def test_matches_grid_engine(self, flat_problem, tt_problem, loss, precond):
         config = BAConfig(
-            maxiter=6, gtol=0.0, ftol=0.0, cg_maxiter=25, cg_rtol=1e-10,
+            maxiter=5, gtol=0.0, ftol=0.0, cg_maxiter=16, cg_rtol=1e-10,
             loss=loss, precond=precond,
         )
         grid_problem = grid_from_flat(flat_problem)
@@ -137,6 +143,54 @@ class TestTTSolveModes:
         cams, pts, state = ba_solve_tt(tt_problem, config)
         rmse = float(reprojection_rmse(flat_problem, cams, pts))
         assert rmse < 1e-6
+
+    def test_joint_distortion_recovers_gt(self):
+        # GT cameras carry barrel distortion; the problem starts at k=(0,0).
+        # Joint 10-param blocks must recover it (the alternating
+        # intrinsics_refine loop only converges linearly on this).
+        import dataclasses
+
+        gt_dist = (-0.08, 0.012)
+        scene = make_scene(n_cameras=10, n_points=600, seed=11, dist=gt_dist)
+        flat, _ = scene_to_ba_problem(scene, observed=scene, dtype=jnp.float64)
+        cams0 = dataclasses.replace(
+            flat.cameras, dist=jnp.zeros_like(flat.cameras.dist)
+        )
+        flat0 = dataclasses.replace(flat, cameras=cams0)
+        tt = tt_from_flat(flat0, point_block=64)
+        config = BAConfig(maxiter=30, cg_maxiter=40, cg_rtol=1e-10, optimize_dist=True)
+        cams, pts, state = ba_solve_tt(tt, config)
+        rmse = float(reprojection_rmse(flat, cams, pts))
+        assert rmse < 1e-8
+        np.testing.assert_allclose(
+            np.array(cams.dist), np.tile(gt_dist, (10, 1)), atol=1e-6
+        )
+
+    def test_distortion_gradient_matches_ad(self, tt_problem):
+        # With TRIVIAL loss, g_cam = J^T r exactly equals d(cost)/d(params)
+        # for the additive params — pin the analytic k1/k2 (and focal)
+        # Jacobian columns against jax.grad of the independent cost.
+        from tpu3drecon.solvers.ba_tt import _cost, _linearize
+
+        config = BAConfig(loss=RobustLoss.TRIVIAL, optimize_dist=True)
+        cams = tt_problem.cameras
+        dist0 = cams.dist + 0.01  # off-zero so the chain rule is non-trivial
+        params = (cams.rmats, cams.tvecs, cams.fx_fy, dist0, tt_problem.points3d)
+        nb = _linearize(params, jnp.asarray(0.0), tt_problem, config)
+
+        def cost_of(fx_fy, dist):
+            return _cost(
+                (cams.rmats, cams.tvecs, fx_fy, dist, tt_problem.points3d),
+                tt_problem, config,
+            )
+
+        g_f, g_d = jax.grad(cost_of, argnums=(0, 1))(cams.fx_fy, dist0)
+        np.testing.assert_allclose(
+            np.array(nb.g_cam[:, 6:8]), np.array(g_f), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.array(nb.g_cam[:, 8:10]), np.array(g_d), rtol=1e-9, atol=1e-12
+        )
 
     def test_jit_solver_cache(self, tt_problem):
         from tpu3drecon.solvers.ba_tt import make_tt_ba_solver

@@ -138,10 +138,16 @@ def _tt_blocks(
     jr12 = -a21 * y + a22 * x
 
     zero = jnp.zeros_like(a11)
-    jc_rows = [
-        jr00, jr01, jr02, a11, a12, a13, mdx, zero,
-        jr10, jr11, jr12, a21, a22, a23, zero, mdy,
-    ]
+    jc_row0 = [jr00, jr01, jr02, a11, a12, a13, mdx, zero]
+    jc_row1 = [jr10, jr11, jr12, a21, a22, a23, zero, mdy]
+    if config.optimize_dist:
+        # d(pi)/dk: u = fx*s*mx + sk*s*my + cx with s = 1 + k1 r2 + k2 r2^2,
+        # so du/dk1 = (fx mx + sk my) r2 and du/dk2 = the same * r2.
+        du_ds = fx * mx + sk * my
+        dv_ds = fy * my
+        jc_row0 += [du_ds * r2, du_ds * r2 * r2]
+        jc_row1 += [dv_ds * r2, dv_ds * r2 * r2]
+    jc_rows = jc_row0 + jc_row1
 
     # J_pt = dpi @ R (per-slot rotation planes).
     jp_rows = [
@@ -157,7 +163,8 @@ def _tt_blocks(
     jp = jnp.stack(jp_rows) * scale[None]
     r = jnp.stack([r0, r1]) * scale[None]
     if not config.optimize_focal:
-        jc = jc.at[jnp.asarray([6, 7, 14, 15])].set(0.0)
+        np_cam = len(jc_row0)
+        jc = jc.at[jnp.asarray([6, 7, np_cam + 6, np_cam + 7])].set(0.0)
     if not config.optimize_points:
         jp = jp * 0.0
     return TTBlocks(r=r, jc=jc, jp=jp)
@@ -198,14 +205,15 @@ def _sym3_matvec(m6: jax.Array, x: jax.Array) -> jax.Array:
     )
 
 
-_TRIU8 = [(i, j) for i in range(8) for j in range(i, 8)]  # 36 upper pairs
+def _triu_pairs(np_cam: int):
+    return [(i, j) for i in range(np_cam) for j in range(i, np_cam)]
 
 
-def _unpack_sym8(cols: jax.Array) -> jax.Array:
-    """(C, 36) upper-triangle columns -> (C, 8, 8) symmetric."""
+def _unpack_sym(cols: jax.Array, np_cam: int) -> jax.Array:
+    """(C, np(np+1)/2) upper-triangle columns -> (C, np, np) symmetric."""
     C = cols.shape[0]
-    out = jnp.zeros((C, 8, 8), cols.dtype)
-    for k, (i, j) in enumerate(_TRIU8):
+    out = jnp.zeros((C, np_cam, np_cam), cols.dtype)
+    for k, (i, j) in enumerate(_triu_pairs(np_cam)):
         out = out.at[:, i, j].set(cols[:, k])
         if i != j:
             out = out.at[:, j, i].set(cols[:, k])
@@ -213,7 +221,7 @@ def _unpack_sym8(cols: jax.Array) -> jax.Array:
 
 
 class TTBucketNormal(NamedTuple):
-    jc: jax.Array  # (16, Tb, Pb)
+    jc: jax.Array  # (2*np, Tb, Pb) — np = 8, or 10 with optimize_dist
     jp: jax.Array  # (6, Tb, Pb)
     v_inv: jax.Array  # (6, Pb) sym planes
     g_pt: jax.Array  # (3, Pb)
@@ -221,19 +229,20 @@ class TTBucketNormal(NamedTuple):
 
 
 class TTNormal(NamedTuple):
-    u: jax.Array  # (C, 8, 8) damped
-    u_chol: jax.Array  # (C, 8, 8) cholesky of the preconditioner
-    g_cam: jax.Array  # (C, 8)
-    damp_cam: jax.Array  # (C, 8)
+    u: jax.Array  # (C, np, np) damped
+    u_chol: jax.Array  # (C, np, np) cholesky of the preconditioner
+    g_cam: jax.Array  # (C, np)
+    damp_cam: jax.Array  # (C, np)
     buckets: Tuple[TTBucketNormal, ...]
 
 
 def _wt_times_bucket(bn: TTBucketNormal, x_cam: jax.Array, bucket: TTBucket):
     """(W^T x) for one bucket: one one-hot matmul + dense T reductions."""
     tb, pb = bucket.mask.shape
-    xg = jnp.einsum("ci,cn->in", x_cam, bucket.onehot).reshape(8, tb, pb)
-    s0 = sum(bn.jc[i] * xg[i] for i in range(8))
-    s1 = sum(bn.jc[8 + i] * xg[i] for i in range(8))
+    np_cam = bn.jc.shape[0] // 2
+    xg = jnp.einsum("ci,cn->in", x_cam, bucket.onehot).reshape(np_cam, tb, pb)
+    s0 = sum(bn.jc[i] * xg[i] for i in range(np_cam))
+    s1 = sum(bn.jc[np_cam + i] * xg[i] for i in range(np_cam))
     return jnp.stack(
         [
             jnp.sum(bn.jp[0] * s0 + bn.jp[3] * s1, axis=0),
@@ -247,7 +256,8 @@ def _w_times_bucket(bn: TTBucketNormal, y_pt: jax.Array, bucket: TTBucket):
     """(W y) camera rows for one bucket; ``y_pt`` is (3, Pb) planes."""
     s0 = bn.jp[0] * y_pt[0][None] + bn.jp[1] * y_pt[1][None] + bn.jp[2] * y_pt[2][None]
     s1 = bn.jp[3] * y_pt[0][None] + bn.jp[4] * y_pt[1][None] + bn.jp[5] * y_pt[2][None]
-    z = jnp.stack([bn.jc[i] * s0 + bn.jc[8 + i] * s1 for i in range(8)])
+    np_cam = bn.jc.shape[0] // 2
+    z = jnp.stack([bn.jc[i] * s0 + bn.jc[np_cam + i] * s1 for i in range(np_cam)])
     return _reduce_to_cams(z, bucket)
 
 
@@ -260,15 +270,18 @@ def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem: BATTProblem):
 
 
 def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
-    rmats, tvecs, fx_fy, points3d = params
+    rmats, tvecs, fx_fy, dist, points3d = params
     dtype = points3d.dtype
     cams = problem.cameras
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist)
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
-    u_cols = jnp.zeros((rmats.shape[0], 36), dtype)
-    g_cols = jnp.zeros((rmats.shape[0], 8), dtype)
-    coup_cols = jnp.zeros((rmats.shape[0], 36), dtype)
+    np_cam = 10 if config.optimize_dist else 8
+    triu = _triu_pairs(np_cam)
+    n_triu = len(triu)
+    u_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
+    g_cols = jnp.zeros((rmats.shape[0], np_cam), dtype)
+    coup_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
     bucket_normals = []
     for bucket, off in zip(problem.buckets, problem.bucket_offsets):
         tb, pb = bucket.mask.shape
@@ -293,16 +306,17 @@ def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
         v_inv = _sym3_inv_planes(v6_d)
 
         # Camera-side contributions, one fused one-hot reduce:
-        # 36 U upper-triangle planes + 8 gradient planes (+ 36 coupling).
-        contribs = [jc[i] * jc[j] + jc[8 + i] * jc[8 + j] for (i, j) in _TRIU8]
-        contribs += [jc[i] * r[0] + jc[8 + i] * r[1] for i in range(8)]
+        # U upper-triangle planes + gradient planes (+ coupling planes).
+        contribs = [jc[i] * jc[j] + jc[np_cam + i] * jc[np_cam + j] for (i, j) in triu]
+        contribs += [jc[i] * r[0] + jc[np_cam + i] * r[1] for i in range(np_cam)]
         if config.precond == "schur_jacobi":
             # Exact S-diagonal contribution per slot: W v_inv W^T with
-            # W = jc_row0 (x) jp_row0 + jc_row1 (x) jp_row1 (8x3) and v_inv
-            # broadcast from the point side (free: the table is point-major).
+            # W = jc_row0 (x) jp_row0 + jc_row1 (x) jp_row1 (np x 3) and
+            # v_inv broadcast from the point side (free: the table is
+            # point-major).
             w_slot = [
-                [jc[i] * jp[l] + jc[8 + i] * jp[3 + l] for l in range(3)]
-                for i in range(8)
+                [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
+                for i in range(np_cam)
             ]
             vi = [
                 [v_inv[0], v_inv[1], v_inv[2]],
@@ -314,29 +328,29 @@ def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
                     sum(w_slot[i][j] * vi[j][l][None] for j in range(3))
                     for l in range(3)
                 ]
-                for i in range(8)
+                for i in range(np_cam)
             ]
             contribs += [
                 sum(wv[i][l] * w_slot[j][l] for l in range(3))
-                for (i, j) in _TRIU8
+                for (i, j) in triu
             ]
         reduced = _reduce_to_cams(jnp.stack(contribs), bucket)
-        u_cols = u_cols + reduced[:, :36]
-        g_cols = g_cols + reduced[:, 36:44]
+        u_cols = u_cols + reduced[:, :n_triu]
+        g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
         if config.precond == "schur_jacobi":
-            coup_cols = coup_cols + reduced[:, 44:80]
+            coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
         bucket_normals.append(
             TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
 
-    u0 = _unpack_sym8(u_cols)
+    u0 = _unpack_sym(u_cols, np_cam)
     g_cam = g_cols
-    eye8 = jnp.eye(8, dtype=dtype)
+    eye = jnp.eye(np_cam, dtype=dtype)
     du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
     damp_cam = lam * du
-    u_d = u0 + damp_cam[..., None] * eye8
+    u_d = u0 + damp_cam[..., None] * eye
     if config.precond == "schur_jacobi":
-        precond_mat = u_d - _unpack_sym8(coup_cols)
+        precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
     else:
         precond_mat = u_d
     u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
@@ -388,10 +402,10 @@ def _pcg(nb: TTNormal, b: jax.Array, problem: BATTProblem, maxiter, rtol):
 
 
 def _cost(params, problem: BATTProblem, config: BAConfig) -> jax.Array:
-    rmats, tvecs, fx_fy, points3d = params
+    rmats, tvecs, fx_fy, dist, points3d = params
     dtype = points3d.dtype
     cams = problem.cameras
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, cams.dist)
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
     total = jnp.zeros((), dtype)
     for bucket, off in zip(problem.buckets, problem.bucket_offsets):
@@ -431,7 +445,7 @@ def ba_solve_tt(
 def _ba_solve_tt_impl(problem: BATTProblem, config: BAConfig):
     cams = problem.cameras
     dtype = problem.points3d.dtype
-    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, problem.points3d)
+    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, problem.points3d)
 
     def propose(params, lam):
         nb = _linearize(params, lam, problem, config)
@@ -461,17 +475,18 @@ def _ba_solve_tt_impl(problem: BATTProblem, config: BAConfig):
         return (dc, dps), grad_norm, pred, cg_iters
 
     def apply_step(params, delta):
-        rmats, tvecs, fx_fy, points3d = params
+        rmats, tvecs, fx_fy, dist, points3d = params
         dc, dps = delta
-        new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc)
-        return (new_r, new_t, new_f, points3d + jnp.concatenate(dps, axis=0))
+        new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc[:, :8])
+        new_d = dist + dc[:, 8:10] if config.optimize_dist else dist
+        return (new_r, new_t, new_f, new_d, points3d + jnp.concatenate(dps, axis=0))
 
     cost = functools.partial(_cost, problem=problem, config=config)
     final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
-    rmats, tvecs, fx_fy, points3d = final.params
+    rmats, tvecs, fx_fy, dist, points3d = final.params
     cameras_out = CameraParams(
         rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
-        dist=cams.dist,
+        dist=dist,
     )
     state = BAState(
         rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, points3d=points3d,

@@ -46,6 +46,11 @@ class BAConfig(NamedTuple):
     loss: RobustLoss = RobustLoss.TRIVIAL
     optimize_focal: bool = True
     optimize_points: bool = True  # False -> pose-only (motion-only) BA
+    # Jointly optimize the radial distortion (k1, k2) as part of each camera
+    # block (10 params/cam instead of 8).  Supported by the track-table
+    # engine (solvers/ba_tt.py) — the BAL-style joint refinement that the
+    # alternating intrinsics_refine loop only approaches linearly.
+    optimize_dist: bool = False
     # CG preconditioner for the reduced camera system:
     #   "jacobi_u":     block-Jacobi on damped U (ignores point-elimination fill)
     #   "schur_jacobi": exact diagonal blocks of S = U - W V^-1 W^T (Ceres'
