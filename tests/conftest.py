@@ -32,3 +32,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _isolated_compile_cache(tmp_path_factory):
+    """Point any in-test enable_compilation_cache() at a throwaway dir.
+
+    The CLI (tpu3drecon/cli.py) enables jax's persistent compilation cache;
+    once test_cli runs it in-process the config sticks for the REST of the
+    suite, and sharing the repo-level .jax_cache with concurrently-running
+    bench/experiment processes segfaulted a suite run (corrupt zstd entry
+    read in jax's cache loader).  Tests must never touch the shared cache.
+    """
+    os.environ["TPU3DRECON_CACHE_DIR"] = str(
+        tmp_path_factory.mktemp("jax_cache")
+    )
+    yield
+    os.environ.pop("TPU3DRECON_CACHE_DIR", None)
