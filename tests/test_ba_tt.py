@@ -44,6 +44,7 @@ class TestTTPacking:
             cam = np.array(b.cam_ids).reshape(-1)
             mask = np.array(b.mask).reshape(-1)
             # Each real slot selects exactly its camera; padding rows are 0.
+            onehot = onehot.reshape(onehot.shape[0], -1)
             assert np.array_equal(onehot.sum(axis=0), (mask > 0).astype(onehot.dtype))
             rows = onehot.argmax(axis=0)
             np.testing.assert_array_equal(rows[mask > 0], cam[mask > 0])
@@ -175,12 +176,16 @@ class TestTTSolveModes:
         config = BAConfig(loss=RobustLoss.TRIVIAL, optimize_dist=True)
         cams = tt_problem.cameras
         dist0 = cams.dist + 0.01  # off-zero so the chain rule is non-trivial
-        params = (cams.rmats, cams.tvecs, cams.fx_fy, dist0, tt_problem.points3d)
+        pts_list = tuple(
+            tt_problem.points3d[off : off + b.mask.shape[1]].T
+            for b, off in zip(tt_problem.buckets, tt_problem.bucket_offsets)
+        )
+        params = (cams.rmats, cams.tvecs, cams.fx_fy, dist0, pts_list)
         nb = _linearize(params, jnp.asarray(0.0), tt_problem, config)
 
         def cost_of(fx_fy, dist):
             return _cost(
-                (cams.rmats, cams.tvecs, fx_fy, dist, tt_problem.points3d),
+                (cams.rmats, cams.tvecs, fx_fy, dist, pts_list),
                 tt_problem, config,
             )
 

@@ -53,13 +53,19 @@ class TTBucket:
     """One track-length bucket, plane-major (slot axis last).
 
     ``n = t * P_b + p`` flattens (T_b, P_b) row-major; ``onehot`` is indexed
-    by that same flat order.
+    by that same flat order.  Single-chip problems store it FLAT (C, Tb*Pb)
+    — on TPU the (C, n) and (C, Tb, Pb) forms have different (8, 128) tile
+    layouts, so a per-use reshape of the biggest array in the problem is a
+    real HBM copy, not free.  The sharded placement
+    (parallel/sharded_tt.shard_tt_problem) re-materializes it as
+    (C, Tb, Pb) host-side so the point axis can carry a PartitionSpec; the
+    engine accepts either form (solvers/ba_tt._flat_onehot).
     """
 
     uv: jax.Array  # (2, Tb, Pb) observed pixels
     mask: jax.Array  # (Tb, Pb) 1.0 = real observation
     cam_ids: jax.Array  # (Tb, Pb) int32 (0 on padding)
-    onehot: jax.Array  # (C, Tb*Pb) {0,1}, mask already applied
+    onehot: jax.Array  # (C, Tb*Pb) {0,1} (or (C, Tb, Pb) when sharded), mask applied
 
 
 @jax.tree_util.register_dataclass

@@ -53,17 +53,36 @@ def _cam_table(rmats, tvecs, fx_fy, cx_cy_skew, dist) -> jax.Array:
     )
 
 
+def _flat_onehot(bucket: TTBucket) -> jax.Array:
+    """One-hot as (C, Tb*Pb), from either stored form.
+
+    Single-chip problems carry it pre-flattened (a trace-time no-op here) —
+    the (C, Tb, Pb) -> (C, n) reshape is a tiled-layout HBM copy of the
+    problem's biggest array on TPU, so it must not sit on the hot path.  The
+    sharded engine carries the 3-D form (the point axis needs its own
+    PartitionSpec) and pays one reshape per use inside shard_map, where the
+    operand is the device-local shard.
+    """
+    if bucket.onehot.ndim == 2:
+        return bucket.onehot
+    return bucket.onehot.reshape(bucket.onehot.shape[0], -1)
+
+
 def _cam_planes(table: jax.Array, bucket: TTBucket) -> jax.Array:
     """Per-slot camera parameters: (D, Tb, Pb) via one one-hot matmul."""
     tb, pb = bucket.mask.shape
-    planes = jnp.einsum("cd,cn->dn", table, bucket.onehot)
+    planes = jnp.einsum("cd,cn->dn", table, _flat_onehot(bucket))
     return planes.reshape(table.shape[1], tb, pb)
 
 
 def _reduce_to_cams(planes: jax.Array, bucket: TTBucket) -> jax.Array:
-    """Sum slot planes (D, Tb, Pb) into per-camera rows (C, D)."""
+    """Sum slot planes (D, Tb, Pb) into per-camera rows (C, D).
+
+    Under point-axis sharding this is the device-local partial sum; callers
+    psum the accumulated result once per reduction site.
+    """
     d = planes.shape[0]
-    return jnp.einsum("dn,cn->cd", planes.reshape(d, -1), bucket.onehot)
+    return jnp.einsum("dn,cn->cd", planes.reshape(d, -1), _flat_onehot(bucket))
 
 
 class TTBlocks(NamedTuple):
@@ -75,13 +94,17 @@ class TTBlocks(NamedTuple):
 def _tt_blocks(
     cam_planes: jax.Array,
     pts_planes: jax.Array,
-    bucket: TTBucket,
+    uv: jax.Array,
+    mask: jax.Array,
     inv_w: jax.Array,
     config: BAConfig,
 ) -> TTBlocks:
     """Residual/Jacobian planes per slot — identical formulas to
     solvers/ba_grid.grid_blocks (incl. the radial chain A = s I + g m m^T),
-    with camera scalars as per-slot planes and the point broadcast free."""
+    with camera scalars as per-slot planes and the point broadcast free.
+
+    Purely elementwise over the (Tb, Pb) slot table, so the windowed engine
+    (solvers/ba_wtt.py) vmaps it over its chunk axis unchanged."""
     dtype = cam_planes.dtype
     cp = cam_planes
     X = pts_planes[0][None, :]
@@ -107,11 +130,11 @@ def _tt_blocks(
 
     u = fx * mdx + sk * mdy + cx
     v = fy * mdy + cy
-    r0 = u - bucket.uv[0]
-    r1 = v - bucket.uv[1]
+    r0 = u - uv[0]
+    r1 = v - uv[1]
     s = r0 * r0 + r1 * r1
     w = robust_weight(config.loss, jax.lax.stop_gradient(s))
-    scale = jnp.sqrt(w) * bucket.mask * inv_w
+    scale = jnp.sqrt(w) * mask * inv_w
 
     axx = s_rad + g_rad * mx * mx
     axy = g_rad * mx * my
@@ -240,7 +263,7 @@ def _wt_times_bucket(bn: TTBucketNormal, x_cam: jax.Array, bucket: TTBucket):
     """(W^T x) for one bucket: one one-hot matmul + dense T reductions."""
     tb, pb = bucket.mask.shape
     np_cam = bn.jc.shape[0] // 2
-    xg = jnp.einsum("ci,cn->in", x_cam, bucket.onehot).reshape(np_cam, tb, pb)
+    xg = jnp.einsum("ci,cn->in", x_cam, _flat_onehot(bucket)).reshape(np_cam, tb, pb)
     s0 = sum(bn.jc[i] * xg[i] for i in range(np_cam))
     s1 = sum(bn.jc[np_cam + i] * xg[i] for i in range(np_cam))
     return jnp.stack(
@@ -261,17 +284,21 @@ def _w_times_bucket(bn: TTBucketNormal, y_pt: jax.Array, bucket: TTBucket):
     return _reduce_to_cams(z, bucket)
 
 
-def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem: BATTProblem):
-    out = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem, axis_name=None):
+    coup = jnp.zeros_like(x_cam)
     for bn, bucket in zip(nb.buckets, problem.buckets):
         wtx = _wt_times_bucket(bn, x_cam, bucket)
-        out = out - _w_times_bucket(bn, _sym3_matvec(bn.v_inv, wtx), bucket)
-    return out
+        coup = coup + _w_times_bucket(bn, _sym3_matvec(bn.v_inv, wtx), bucket)
+    return jnp.einsum("cij,cj->ci", nb.u, x_cam) - _psum(coup, axis_name)
 
 
-def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
-    rmats, tvecs, fx_fy, dist, points3d = params
-    dtype = points3d.dtype
+def _linearize(params, lam, problem, config: BAConfig, axis_name=None) -> TTNormal:
+    rmats, tvecs, fx_fy, dist, pts_list = params
+    dtype = pts_list[0].dtype
     cams = problem.cameras
     table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
@@ -283,11 +310,10 @@ def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
     g_cols = jnp.zeros((rmats.shape[0], np_cam), dtype)
     coup_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
     bucket_normals = []
-    for bucket, off in zip(problem.buckets, problem.bucket_offsets):
+    for bucket, pts in zip(problem.buckets, pts_list):
         tb, pb = bucket.mask.shape
-        pts = jax.lax.dynamic_slice_in_dim(points3d, off, pb).T  # (3, Pb)
         cp = _cam_planes(table, bucket)
-        blocks = _tt_blocks(cp, pts, bucket, inv_w, config)
+        blocks = _tt_blocks(cp, pts, bucket.uv, bucket.mask, inv_w, config)
         jc, jp, r = blocks.jc, blocks.jp, blocks.r
 
         # Point-side normal: dense over T.
@@ -343,6 +369,10 @@ def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
             TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
 
+    u_cols = _psum(u_cols, axis_name)
+    g_cols = _psum(g_cols, axis_name)
+    if config.precond == "schur_jacobi":
+        coup_cols = _psum(coup_cols, axis_name)
     u0 = _unpack_sym(u_cols, np_cam)
     g_cam = g_cols
     eye = jnp.eye(np_cam, dtype=dtype)
@@ -364,7 +394,13 @@ def _linearize(params, lam, problem: BATTProblem, config: BAConfig) -> TTNormal:
     )
 
 
-def _pcg(nb: TTNormal, b: jax.Array, problem: BATTProblem, maxiter, rtol):
+def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
+    """PCG on the reduced camera system.
+
+    Under sharding the CG state (x, r, z, p) is replicated — only the
+    coupling inside ``_schur_matvec`` touches the sharded slot axis, and its
+    single psum re-replicates the matvec; all dots are therefore local.
+    """
     dtype = b.dtype
 
     def dot(a, b_):
@@ -385,7 +421,7 @@ def _pcg(nb: TTNormal, b: jax.Array, problem: BATTProblem, maxiter, rtol):
 
     def body(st):
         x, r, z, p, rz, i = st
-        sp = _schur_matvec(nb, p, problem)
+        sp = _schur_matvec(nb, p, problem, axis_name)
         psp = dot(p, sp)
         alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
         x = x + alpha * p
@@ -401,16 +437,14 @@ def _pcg(nb: TTNormal, b: jax.Array, problem: BATTProblem, maxiter, rtol):
     return x, iters
 
 
-def _cost(params, problem: BATTProblem, config: BAConfig) -> jax.Array:
-    rmats, tvecs, fx_fy, dist, points3d = params
-    dtype = points3d.dtype
+def _cost(params, problem, config: BAConfig, axis_name=None) -> jax.Array:
+    rmats, tvecs, fx_fy, dist, pts_list = params
+    dtype = pts_list[0].dtype
     cams = problem.cameras
     table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
     total = jnp.zeros((), dtype)
-    for bucket, off in zip(problem.buckets, problem.bucket_offsets):
-        tb, pb = bucket.mask.shape
-        pts = jax.lax.dynamic_slice_in_dim(points3d, off, pb).T
+    for bucket, pts in zip(problem.buckets, pts_list):
         cp = _cam_planes(table, bucket)
         x = cp[0] * pts[0][None] + cp[1] * pts[1][None] + cp[2] * pts[2][None] + cp[9]
         y = cp[3] * pts[0][None] + cp[4] * pts[1][None] + cp[5] * pts[2][None] + cp[10]
@@ -427,7 +461,7 @@ def _cost(params, problem: BATTProblem, config: BAConfig) -> jax.Array:
         s = r0 * r0 + r1 * r1
         w = robust_weight(config.loss, jax.lax.stop_gradient(s))
         total = total + 0.5 * jnp.sum(s * w * (bucket.mask * inv_w) ** 2)
-    return total
+    return _psum(total, axis_name)
 
 
 def ba_solve_tt(
@@ -436,65 +470,98 @@ def ba_solve_tt(
     """Track-table BA solve; same (cameras, points, BAState) outputs and the
     same trust-region trajectory as ba_solve/ba_solve_grid/ba_solve_pallas."""
     with jax.default_matmul_precision("highest"):
-        cams, pts, state = _ba_solve_tt_impl(problem, config)
-        pts = unpermute_points(pts, problem)
-        state = state._replace(points3d=pts)
+        pts_list = []
+        for bucket, off in zip(problem.buckets, problem.bucket_offsets):
+            pb = bucket.mask.shape[1]
+            pts_list.append(problem.points3d[off : off + pb].T)  # (3, Pb)
+        cams, pts_out, final = _ba_solve_tt_core(
+            problem, tuple(pts_list), config
+        )
+        points3d = jnp.concatenate([p.T for p in pts_out], axis=0)
+        pts = unpermute_points(points3d, problem)
+        state = _tt_state(cams, pts, final)
         return cams, pts, state
 
 
-def _ba_solve_tt_impl(problem: BATTProblem, config: BAConfig):
+def _tt_state(cams: CameraParams, points3d: jax.Array, final) -> BAState:
+    return BAState(
+        rmats=cams.rmats, tvecs=cams.tvecs, fx_fy=cams.fx_fy,
+        points3d=points3d, loss=final.loss, lam=final.lam, nu=final.nu,
+        iter_num=final.iter_num, accepted=final.accepted,
+        grad_norm=final.grad_norm, converged=final.converged,
+        cg_iters=final.cg_iters, gain=final.gain,
+    )
+
+
+def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None):
+    """Shared solve body: single-chip (axis_name=None) and the SPMD path.
+
+    ``problem`` only needs .cameras / .buckets / .avg_cam_width here; under
+    shard_map the buckets and ``pts_list`` planes are the device-local
+    point-axis shards while the camera table stays replicated, so every
+    point-side quantity (V, v_inv, g_pt, back-substitution) is local and the
+    only collectives are the tiny (C, np)-sized psums at the camera reduces.
+    """
     cams = problem.cameras
-    dtype = problem.points3d.dtype
-    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, problem.points3d)
+    dtype = pts_list[0].dtype
+    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, pts_list)
+
+    def pmax(x):
+        return jax.lax.pmax(x, axis_name) if axis_name else x
 
     def propose(params, lam):
-        nb = _linearize(params, lam, problem, config)
+        nb = _linearize(params, lam, problem, config, axis_name)
         gp_max = jnp.asarray(0.0, dtype)
         for bn in nb.buckets:
             gp_max = jnp.maximum(gp_max, jnp.max(jnp.abs(bn.g_pt)))
         grad_norm = jnp.maximum(
-            jnp.max(jnp.abs(nb.g_cam)), gp_max if config.optimize_points else 0.0
+            jnp.max(jnp.abs(nb.g_cam)),
+            pmax(gp_max) if config.optimize_points else 0.0,
         )
 
-        b = -nb.g_cam
+        b = jnp.zeros_like(nb.g_cam)
         for bn, bucket in zip(nb.buckets, problem.buckets):
             b = b + _w_times_bucket(bn, _sym3_matvec(bn.v_inv, bn.g_pt), bucket)
-        dc, cg_iters = _pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
+        b = _psum(b, axis_name) - nb.g_cam
+        dc, cg_iters = _pcg(
+            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name
+        )
 
         dps = []
-        pred = 0.5 * (jnp.sum(dc * (nb.damp_cam * dc)) - jnp.sum(dc * nb.g_cam))
+        pred_pt = jnp.zeros((), dtype)
         for bn, bucket in zip(nb.buckets, problem.buckets):
             wtx = _wt_times_bucket(bn, dc, bucket)
             dp = _sym3_matvec(bn.v_inv, -bn.g_pt - wtx)  # (3, Pb)
             if not config.optimize_points:
                 dp = dp * 0.0
-            pred = pred + 0.5 * (
+            pred_pt = pred_pt + 0.5 * (
                 jnp.sum(dp * (bn.damp_pt * dp)) - jnp.sum(dp * bn.g_pt)
             )
-            dps.append(dp.T)  # (Pb, 3)
-        return (dc, dps), grad_norm, pred, cg_iters
+            dps.append(dp)
+        pred = (
+            0.5 * (jnp.sum(dc * (nb.damp_cam * dc)) - jnp.sum(dc * nb.g_cam))
+            + _psum(pred_pt, axis_name)
+        )
+        return (dc, tuple(dps)), grad_norm, pred, cg_iters
 
     def apply_step(params, delta):
-        rmats, tvecs, fx_fy, dist, points3d = params
+        rmats, tvecs, fx_fy, dist, pts = params
         dc, dps = delta
         new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc[:, :8])
         new_d = dist + dc[:, 8:10] if config.optimize_dist else dist
-        return (new_r, new_t, new_f, new_d, points3d + jnp.concatenate(dps, axis=0))
+        new_pts = tuple(p + dp for p, dp in zip(pts, dps))
+        return (new_r, new_t, new_f, new_d, new_pts)
 
-    cost = functools.partial(_cost, problem=problem, config=config)
+    cost = functools.partial(
+        _cost, problem=problem, config=config, axis_name=axis_name
+    )
     final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
-    rmats, tvecs, fx_fy, dist, points3d = final.params
+    rmats, tvecs, fx_fy, dist, pts_out = final.params
     cameras_out = CameraParams(
         rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
         dist=dist,
     )
-    state = BAState(
-        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, points3d=points3d,
-        loss=final.loss, lam=final.lam, nu=final.nu, iter_num=final.iter_num,
-        accepted=final.accepted, grad_norm=final.grad_norm,
-        converged=final.converged, cg_iters=final.cg_iters, gain=final.gain,
-    )
-    return cameras_out, points3d, state
+    return cameras_out, pts_out, final
 
 
 _TT_SOLVER_CACHE: dict = {}
