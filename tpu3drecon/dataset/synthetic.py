@@ -161,6 +161,91 @@ def make_scene(
     )
 
 
+def make_sequential_scene(
+    n_cameras: int = 160,
+    points_per_camera: int = 30,
+    track_span: int = 4,
+    image_size: Tuple[int, int] = (1280, 960),
+    focal: float = 1100.0,
+    spacing: float = 0.5,
+    seed: int = 0,
+    dist: Tuple[float, float] = (0.0, 0.0),
+) -> SyntheticScene:
+    """Sequential-capture scene: cameras along a line, camera-LOCAL tracks.
+
+    Models BAL-style trajectories (a vehicle driving past a scene): point
+    block ``p`` belongs to camera ``h = p // points_per_camera`` and is
+    observed only by cameras ``[h, h + track_span)`` — so camera locality is
+    exact and the windowed track-table layout (problems/wtt.py) packs it
+    with a window far below the camera count.  Projections are exact (like
+    make_scene): solving the perturbed problem must recover GT.
+    """
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    n_points = n_cameras * points_per_camera
+    dist_rows = np.tile(np.asarray(dist, np.float64), (n_cameras, 1))
+
+    # Cameras marching along +x, looking at the scene line z=6 ahead.
+    rmats = np.zeros((n_cameras, 3, 3))
+    tvecs = np.zeros((n_cameras, 3))
+    fx_fy = np.zeros((n_cameras, 2))
+    cx_cy_skew = np.zeros((n_cameras, 3))
+    for c in range(n_cameras):
+        center = np.array([spacing * c, 0.0, 0.0]) + rng.normal(scale=0.02, size=3)
+        target = np.array([spacing * c + 0.3, 0.0, 6.0]) + rng.normal(
+            scale=0.05, size=3
+        )
+        rmats[c], tvecs[c] = _look_at_w2c(center, target, np.array([0.0, 1.0, 0.0]))
+        f = focal * rng.uniform(0.95, 1.05)
+        fx_fy[c] = (f, f * rng.uniform(0.99, 1.01))
+        cx_cy_skew[c] = (w / 2 + rng.normal(scale=2), h / 2 + rng.normal(scale=2), 0.0)
+
+    # Point block p sits near its home camera's viewing frustum.
+    home = np.repeat(np.arange(n_cameras), points_per_camera)
+    points = np.stack(
+        [
+            spacing * home + rng.normal(scale=1.0, size=n_points),
+            rng.normal(scale=1.0, size=n_points),
+            6.0 + rng.normal(scale=1.0, size=n_points),
+        ],
+        axis=1,
+    )
+
+    cam_chunks, pt_chunks, uv_chunks = [], [], []
+    for c in range(n_cameras):
+        lo = max(0, (c - track_span + 1)) * points_per_camera
+        hi = min(n_cameras, c + 1) * points_per_camera
+        pt_rows = np.arange(lo, hi)
+        pt_rows = pt_rows[home[pt_rows] + track_span > c]
+        xyz_cam = points[pt_rows] @ rmats[c].T + tvecs[c]
+        in_front = xyz_cam[:, 2] > 0.1
+        pt_rows, xyz_cam = pt_rows[in_front], xyz_cam[in_front]
+        xy = xyz_cam[:, :2] / xyz_cam[:, 2:3]
+        r2 = np.sum(xy * xy, axis=1, keepdims=True)
+        xy = (1.0 + dist_rows[c, 0] * r2 + dist_rows[c, 1] * r2 * r2) * xy
+        u = fx_fy[c, 0] * xy[:, 0] + cx_cy_skew[c, 2] * xy[:, 1] + cx_cy_skew[c, 0]
+        v = fx_fy[c, 1] * xy[:, 1] + cx_cy_skew[c, 1]
+        uv = np.stack([u, v], axis=1)
+        inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        cam_chunks.append(np.full(inside.sum(), c, np.int32))
+        pt_chunks.append(pt_rows[inside].astype(np.int32))
+        uv_chunks.append(uv[inside])
+
+    return SyntheticScene(
+        rmats=rmats,
+        tvecs=tvecs,
+        fx_fy=fx_fy,
+        cx_cy_skew=cx_cy_skew,
+        width=w,
+        height=h,
+        points3d=points,
+        cam_idx=np.concatenate(cam_chunks),
+        pt_idx=np.concatenate(pt_chunks),
+        uv=np.concatenate(uv_chunks),
+        dist=dist_rows,
+    )
+
+
 def perturb_scene(
     scene: SyntheticScene,
     point3d_noise: float = 3e-2,

@@ -184,6 +184,7 @@ def grid_bucketed_from_flat(
     bounds: Tuple[int, ...] = (2, 3, 4, 8),
     point_block: int = 512,
     small_track: Optional[int] = None,
+    order_points_by_cam: bool = False,
 ) -> BAGridBucketedProblem:
     """Repack a flat BAProblem into the bucketed grid layout.
 
@@ -198,6 +199,13 @@ def grid_bucketed_from_flat(
     power-of-two meshes); padding rows have empty tracks and zero points.
 
     ``small_track`` is the deprecated round-1 single-boundary form.
+
+    ``order_points_by_cam`` sorts each bucket's points by the minimum camera
+    id observing them (stable).  Semantically neutral (any within-bucket
+    point order is valid); it gives consecutive point chunks camera
+    LOCALITY, which the windowed track-table layout (problems/wtt.py) turns
+    into narrow per-chunk one-hot windows on sequential-capture datasets
+    (BAL-style).
     """
     if small_track is not None:
         bounds = (small_track,)
@@ -228,6 +236,13 @@ def grid_bucketed_from_flat(
     if len(zero_rows):
         sel0, t0 = row_groups[0]
         row_groups[0] = (np.sort(np.concatenate([sel0, zero_rows])), t0)
+
+    if order_points_by_cam:
+        min_cam = np.where(tmask > 0, tcam, np.iinfo(np.int32).max).min(axis=1)
+        row_groups = [
+            (rows[np.argsort(min_cam[rows], kind="stable")], t)
+            for rows, t in row_groups
+        ]
 
     def pad_to(n, m):
         return ((n + m - 1) // m) * m if n else 0

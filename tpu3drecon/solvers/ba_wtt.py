@@ -1,0 +1,436 @@
+"""Windowed track-table bundle adjustment: the gather-free engine at scale.
+
+Same LM/implicit-Schur algorithm and trust-region control as every other
+engine (equality asserted in tests/test_ba_wtt.py), running on the windowed
+track table of problems/wtt.py:
+
+  - identical per-slot residual/Jacobian plane math as the dense tt engine
+    (solvers/ba_tt._tt_blocks, vmapped over the chunk axis);
+  - every camera-axis interaction contracts chunk-local (W, Tb*Pc) one-hot
+    windows instead of the dense (C, slots) matrix: batched MXU matmuls of
+    O(W * slots) work and memory, independent of the camera count;
+  - window gather/scatter on the camera axis moves whole 128-row TILES
+    (G*W/128 indices per reduction — never per-row, never per-observation),
+    so the engine keeps the track-table property that made it ~3.5x the
+    fused-Pallas grid engine: zero per-row transport in the hot loop.
+
+This is the BAL-scale form of the track-table design: W stays at 128-512 on
+camera-local (sequential capture) data regardless of C.
+
+No reference counterpart (the reference's BA caps at 15 cams / 400 points:
+src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drecon.ops.jacobians import apply_se3_retraction
+from tpu3drecon.problems.grid import unpermute_points
+from tpu3drecon.problems.packing import CameraParams
+from tpu3drecon.problems.wtt import BAWTTProblem, CAM_TILE, WTTBucket
+from tpu3drecon.solvers.ba_tt import (
+    _cam_table,
+    _psum,
+    _sym3_inv_planes,
+    _triu_pairs,
+    _tt_blocks,
+    _tt_state,
+    _unpack_sym,
+)
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.trust_region import trust_region_solve
+
+# Upper bound on one-hot-contraction output planes per einsum: bounds the
+# transient (k_slab, G, Tb*Pc) operand to ~slab * slots floats so the fused
+# linearization reduce never materializes all ~165 planes at BAL scale.
+_REDUCE_SLAB = 48
+
+
+def _window_idx(bucket: WTTBucket) -> jax.Array:
+    """(G, W/128) int32 camera-TILE indices of each chunk's window."""
+    wb = bucket.window // CAM_TILE
+    return bucket.cam_base[:, None] // CAM_TILE + jnp.arange(
+        wb, dtype=bucket.cam_base.dtype
+    )[None, :]
+
+
+def _window_rows(x: jax.Array, widx: jax.Array) -> jax.Array:
+    """Gather camera windows: (c_pad, d) -> (G, W, d) via tile gather."""
+    d = x.shape[-1]
+    blocks = x.reshape(-1, CAM_TILE, d)
+    g, wb = widx.shape
+    return blocks[widx].reshape(g, wb * CAM_TILE, d)
+
+
+def _scatter_rows(rows: jax.Array, widx: jax.Array, c_pad: int) -> jax.Array:
+    """Scatter-add camera windows: (G, W, d) -> (c_pad, d) via tile scatter."""
+    g, w, d = rows.shape
+    wb = w // CAM_TILE
+    out = jnp.zeros((c_pad // CAM_TILE, CAM_TILE, d), rows.dtype)
+    out = out.at[widx].add(rows.reshape(g, wb, CAM_TILE, d))
+    return out.reshape(c_pad, d)
+
+
+def _cam_planes_w(table_pad: jax.Array, bucket: WTTBucket) -> jax.Array:
+    """Per-slot camera parameters (G, D, Tb, Pc) via windowed one-hot matmul."""
+    g, _, tb, pc = bucket.uv.shape
+    widx = _window_idx(bucket)
+    tw = _window_rows(table_pad, widx)  # (G, W, D)
+    planes = jnp.einsum("gwd,gwn->gdn", tw, bucket.onehot)
+    return planes.reshape(g, table_pad.shape[1], tb, pc)
+
+
+def _reduce_to_cams_w(planes_list, bucket: WTTBucket, c_pad: int) -> jax.Array:
+    """Sum slot planes (list of (G, Tb, Pc)) into camera rows (c_pad, K).
+
+    Stacks and contracts in slabs of _REDUCE_SLAB planes so the transient
+    einsum operand stays bounded (the fused linearization reduce would
+    otherwise materialize ~165 * slots floats at BAL scale)."""
+    widx = _window_idx(bucket)
+    outs = []
+    for lo in range(0, len(planes_list), _REDUCE_SLAB):
+        sl = jnp.stack(planes_list[lo : lo + _REDUCE_SLAB])  # (k_s, G, Tb, Pc)
+        k_s, g, tb, pc = sl.shape
+        outs.append(
+            jnp.einsum("kgn,gwn->gwk", sl.reshape(k_s, g, tb * pc), bucket.onehot)
+        )
+    rows = jnp.concatenate(outs, axis=-1)  # (G, W, K)
+    return _scatter_rows(rows, widx, c_pad)
+
+
+class WTTBucketNormal(NamedTuple):
+    jc: jax.Array  # (2*np, G, Tb, Pc)
+    jp: jax.Array  # (6, G, Tb, Pc)
+    v_inv: jax.Array  # (6, G, Pc) sym planes
+    g_pt: jax.Array  # (3, G, Pc)
+    damp_pt: jax.Array  # (3, G, Pc)
+
+
+class WTTNormal(NamedTuple):
+    u: jax.Array  # (c_pad, np, np) damped
+    u_chol: jax.Array  # (c_pad, np, np)
+    g_cam: jax.Array  # (c_pad, np)
+    damp_cam: jax.Array  # (c_pad, np)
+    buckets: Tuple[WTTBucketNormal, ...]
+
+
+def _wt_times_bucket_w(bn: WTTBucketNormal, x_pad: jax.Array, bucket: WTTBucket):
+    """(W^T x) point planes (3, G, Pc) for one bucket."""
+    np_cam = bn.jc.shape[0] // 2
+    _, g, tb, pc = bn.jp.shape
+    widx = _window_idx(bucket)
+    xw = _window_rows(x_pad, widx)  # (G, W, np)
+    xg = jnp.einsum("gwi,gwn->ign", xw, bucket.onehot).reshape(np_cam, g, tb, pc)
+    s0 = sum(bn.jc[i] * xg[i] for i in range(np_cam))
+    s1 = sum(bn.jc[np_cam + i] * xg[i] for i in range(np_cam))
+    return jnp.stack(
+        [
+            jnp.sum(bn.jp[0] * s0 + bn.jp[3] * s1, axis=1),
+            jnp.sum(bn.jp[1] * s0 + bn.jp[4] * s1, axis=1),
+            jnp.sum(bn.jp[2] * s0 + bn.jp[5] * s1, axis=1),
+        ]
+    )
+
+
+def _w_times_bucket_w(bn: WTTBucketNormal, y_pt: jax.Array, bucket: WTTBucket, c_pad: int):
+    """(W y) camera rows (c_pad, np) for one bucket; y_pt is (3, G, Pc)."""
+    np_cam = bn.jc.shape[0] // 2
+    yb = y_pt[:, :, None, :]  # (3, G, 1, Pc) broadcast over Tb
+    s0 = bn.jp[0] * yb[0] + bn.jp[1] * yb[1] + bn.jp[2] * yb[2]
+    s1 = bn.jp[3] * yb[0] + bn.jp[4] * yb[1] + bn.jp[5] * yb[2]
+    z = [bn.jc[i] * s0 + bn.jc[np_cam + i] * s1 for i in range(np_cam)]
+    return _reduce_to_cams_w(z, bucket, c_pad)
+
+
+def _schur_matvec(nb: WTTNormal, x_pad, problem: BAWTTProblem, axis_name=None):
+    coup = jnp.zeros_like(x_pad)
+    for bn, bucket in zip(nb.buckets, problem.buckets):
+        wtx = _wt_times_bucket_w(bn, x_pad, bucket)
+        vw = _sym3_matvec_g(bn.v_inv, wtx)
+        coup = coup + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
+    return jnp.einsum("cij,cj->ci", nb.u, x_pad) - _psum(coup, axis_name)
+
+
+def _sym3_matvec_g(m6: jax.Array, x: jax.Array) -> jax.Array:
+    """(3, G, Pc) = sym3(m6) @ x, both component-major."""
+    return jnp.stack(
+        [
+            m6[0] * x[0] + m6[1] * x[1] + m6[2] * x[2],
+            m6[1] * x[0] + m6[3] * x[1] + m6[4] * x[2],
+            m6[2] * x[0] + m6[4] * x[1] + m6[5] * x[2],
+        ]
+    )
+
+
+def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
+               axis_name=None) -> WTTNormal:
+    rmats, tvecs, fx_fy, dist, pts_list = params
+    dtype = pts_list[0].dtype
+    cams = problem.cameras
+    c_pad = problem.c_pad
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table_pad = jnp.zeros((c_pad, table.shape[1]), dtype).at[: table.shape[0]].set(table)
+    inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+
+    np_cam = 10 if config.optimize_dist else 8
+    triu = _triu_pairs(np_cam)
+    n_triu = len(triu)
+    u_cols = jnp.zeros((c_pad, n_triu), dtype)
+    g_cols = jnp.zeros((c_pad, np_cam), dtype)
+    coup_cols = jnp.zeros((c_pad, n_triu), dtype)
+    bucket_normals = []
+    for bucket, pts in zip(problem.buckets, pts_list):
+        cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
+        blocks = jax.vmap(
+            lambda c, p, u, m: _tt_blocks(c, p, u, m, inv_w, config),
+            in_axes=(0, 1, 0, 0),
+            out_axes=1,
+        )(cp, pts, bucket.uv, bucket.mask)
+        jc, jp, r = blocks.jc, blocks.jp, blocks.r  # (k, G, Tb, Pc)
+
+        # Point-side normal: dense over Tb (axis=1 of each (G, Tb, Pc)).
+        v6 = jnp.stack(
+            [
+                jnp.sum(jp[i] * jp[j] + jp[3 + i] * jp[3 + j], axis=1)
+                for (i, j) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            ]
+        )  # (6, G, Pc)
+        g_pt = jnp.stack(
+            [jnp.sum(jp[i] * r[0] + jp[3 + i] * r[1], axis=1) for i in range(3)]
+        )
+        dv = jnp.clip(v6[jnp.asarray([0, 3, 5])], 1e-8, None)
+        damp_pt = lam * dv
+        v6_d = v6.at[jnp.asarray([0, 3, 5])].add(damp_pt)
+        v_inv = _sym3_inv_planes(v6_d)
+
+        contribs = [jc[i] * jc[j] + jc[np_cam + i] * jc[np_cam + j] for (i, j) in triu]
+        contribs += [jc[i] * r[0] + jc[np_cam + i] * r[1] for i in range(np_cam)]
+        if config.precond == "schur_jacobi":
+            w_slot = [
+                [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
+                for i in range(np_cam)
+            ]
+            vi = [
+                [v_inv[0], v_inv[1], v_inv[2]],
+                [v_inv[1], v_inv[3], v_inv[4]],
+                [v_inv[2], v_inv[4], v_inv[5]],
+            ]
+            # v_inv is (6, G, Pc): broadcast over the Tb axis of the slots.
+            wv = [
+                [
+                    sum(w_slot[i][j] * vi[j][l][:, None, :] for j in range(3))
+                    for l in range(3)
+                ]
+                for i in range(np_cam)
+            ]
+            contribs += [
+                sum(wv[i][l] * w_slot[j][l] for l in range(3))
+                for (i, j) in triu
+            ]
+        reduced = _reduce_to_cams_w(contribs, bucket, c_pad)
+        u_cols = u_cols + reduced[:, :n_triu]
+        g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
+        if config.precond == "schur_jacobi":
+            coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
+        bucket_normals.append(
+            WTTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
+        )
+
+    u_cols = _psum(u_cols, axis_name)
+    g_cols = _psum(g_cols, axis_name)
+    if config.precond == "schur_jacobi":
+        coup_cols = _psum(coup_cols, axis_name)
+    u0 = _unpack_sym(u_cols, np_cam)
+    eye = jnp.eye(np_cam, dtype=dtype)
+    du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
+    damp_cam = lam * du
+    u_d = u0 + damp_cam[..., None] * eye
+    if config.precond == "schur_jacobi":
+        precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
+    else:
+        precond_mat = u_d
+    # Padding cameras have u0 = 0 and damp = lam*1e-8: SPD, inert.
+    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+
+    return WTTNormal(
+        u=u_d, u_chol=u_chol, g_cam=g_cols, damp_cam=damp_cam,
+        buckets=tuple(bucket_normals),
+    )
+
+
+def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
+         axis_name=None):
+    dtype = b.dtype
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    def precond(r):
+        return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
+            nb.u_chol, r
+        )
+
+    z0 = precond(b)
+    rz0 = dot(b, z0)
+    tol2 = jnp.asarray(rtol, dtype) ** 2 * jnp.maximum(dot(b, b), 1e-32)
+
+    def cond(st):
+        _, r, _, _, _, i = st
+        return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
+
+    def body(st):
+        x, r, z, p, rz, i = st
+        sp = _schur_matvec(nb, p, problem, axis_name)
+        psp = dot(p, sp)
+        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
+        x = x + alpha * p
+        r = r - alpha * sp
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
+        return (x, r, z, z + beta * p, rz_new, i + 1)
+
+    x, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    )
+    return x, iters
+
+
+def _cost(params, problem: BAWTTProblem, config: BAConfig, axis_name=None):
+    from tpu3drecon.geometry.losses import robust_weight
+
+    rmats, tvecs, fx_fy, dist, pts_list = params
+    dtype = pts_list[0].dtype
+    cams = problem.cameras
+    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table_pad = jnp.zeros((problem.c_pad, table.shape[1]), dtype).at[
+        : table.shape[0]
+    ].set(table)
+    inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
+    total = jnp.zeros((), dtype)
+    for bucket, pts in zip(problem.buckets, pts_list):
+        cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
+        pb = pts[:, :, None, :]  # (3, G, 1, Pc)
+        cpm = jnp.moveaxis(cp, 1, 0)  # (D, G, Tb, Pc)
+        x = cpm[0] * pb[0] + cpm[1] * pb[1] + cpm[2] * pb[2] + cpm[9]
+        y = cpm[3] * pb[0] + cpm[4] * pb[1] + cpm[5] * pb[2] + cpm[10]
+        z = cpm[6] * pb[0] + cpm[7] * pb[1] + cpm[8] * pb[2] + cpm[11]
+        iz = 1.0 / jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
+        mx = x * iz
+        my = y * iz
+        r2 = mx * mx + my * my
+        s_rad = 1.0 + cpm[17] * r2 + cpm[18] * r2 * r2
+        u = cpm[12] * s_rad * mx + cpm[16] * s_rad * my + cpm[14]
+        v = cpm[13] * s_rad * my + cpm[15]
+        uv = jnp.moveaxis(bucket.uv, 1, 0)  # (2, G, Tb, Pc)
+        r0 = u - uv[0]
+        r1 = v - uv[1]
+        s = r0 * r0 + r1 * r1
+        w = robust_weight(config.loss, jax.lax.stop_gradient(s))
+        total = total + 0.5 * jnp.sum(s * w * (bucket.mask * inv_w) ** 2)
+    return _psum(total, axis_name)
+
+
+def ba_solve_wtt(
+    problem: BAWTTProblem, config: BAConfig = BAConfig()
+) -> Tuple[CameraParams, jax.Array, BAState]:
+    """Windowed track-table BA solve; same outputs and trust-region
+    trajectory as ba_solve_tt / ba_solve_grid (tests/test_ba_wtt.py)."""
+    with jax.default_matmul_precision("highest"):
+        pts_list = []
+        for bucket, off in zip(problem.buckets, problem.bucket_offsets):
+            g, _, tb, pc = bucket.uv.shape
+            block = problem.points3d[off : off + g * pc]  # (G*Pc, 3)
+            pts_list.append(
+                jnp.moveaxis(block.reshape(g, pc, 3), 2, 0)  # (3, G, Pc)
+            )
+        cams, pts_out, final = _ba_solve_wtt_core(
+            problem, tuple(pts_list), config
+        )
+        points3d = jnp.concatenate(
+            [jnp.moveaxis(p, 0, 2).reshape(-1, 3) for p in pts_out], axis=0
+        )
+        pts = unpermute_points(points3d, problem)
+        state = _tt_state(cams, pts, final)
+        return cams, pts, state
+
+
+def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
+                       axis_name=None):
+    cams = problem.cameras
+    dtype = pts_list[0].dtype
+    n_cams = cams.rmats.shape[0]
+    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, pts_list)
+
+    def pmax(x):
+        return jax.lax.pmax(x, axis_name) if axis_name else x
+
+    def propose(params, lam):
+        nb = _linearize(params, lam, problem, config, axis_name)
+        gp_max = jnp.asarray(0.0, dtype)
+        for bn in nb.buckets:
+            gp_max = jnp.maximum(gp_max, jnp.max(jnp.abs(bn.g_pt)))
+        grad_norm = jnp.maximum(
+            jnp.max(jnp.abs(nb.g_cam)),
+            pmax(gp_max) if config.optimize_points else 0.0,
+        )
+
+        b = jnp.zeros_like(nb.g_cam)
+        for bn, bucket in zip(nb.buckets, problem.buckets):
+            vw = _sym3_matvec_g(bn.v_inv, bn.g_pt)
+            b = b + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
+        b = _psum(b, axis_name) - nb.g_cam
+        dc, cg_iters = _pcg(
+            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name
+        )
+
+        dps = []
+        pred_pt = jnp.zeros((), dtype)
+        for bn, bucket in zip(nb.buckets, problem.buckets):
+            wtx = _wt_times_bucket_w(bn, dc, bucket)
+            dp = _sym3_matvec_g(bn.v_inv, -bn.g_pt - wtx)  # (3, G, Pc)
+            if not config.optimize_points:
+                dp = dp * 0.0
+            pred_pt = pred_pt + 0.5 * (
+                jnp.sum(dp * (bn.damp_pt * dp)) - jnp.sum(dp * bn.g_pt)
+            )
+            dps.append(dp)
+        pred = (
+            0.5 * (jnp.sum(dc * (nb.damp_cam * dc)) - jnp.sum(dc * nb.g_cam))
+            + _psum(pred_pt, axis_name)
+        )
+        return (dc, tuple(dps)), grad_norm, pred, cg_iters
+
+    def apply_step(params, delta):
+        rmats, tvecs, fx_fy, dist, pts = params
+        dc_pad, dps = delta
+        dc = dc_pad[:n_cams]
+        new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc[:, :8])
+        new_d = dist + dc[:, 8:10] if config.optimize_dist else dist
+        new_pts = tuple(p + dp for p, dp in zip(pts, dps))
+        return (new_r, new_t, new_f, new_d, new_pts)
+
+    cost = functools.partial(
+        _cost, problem=problem, config=config, axis_name=axis_name
+    )
+    final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
+    rmats, tvecs, fx_fy, dist, pts_out = final.params
+    cameras_out = CameraParams(
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
+        dist=dist,
+    )
+    return cameras_out, pts_out, final
+
+
+_WTT_SOLVER_CACHE: dict = {}
+
+
+def make_wtt_ba_solver(config: BAConfig = BAConfig()):
+    if config not in _WTT_SOLVER_CACHE:
+        _WTT_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_wtt(p, config))
+    return _WTT_SOLVER_CACHE[config]
