@@ -1,10 +1,13 @@
 """BAL-class scale proof (BASELINE config #5: ~1.7k cams / 1M points).
 
-Two modes:
+Modes:
   python experiments/balscale_dryrun.py cpu8   # 8-device virtual CPU mesh,
       sharded bucketed-grid engine, 1 LM iteration (compile + execute proof)
   python experiments/balscale_dryrun.py tpu    # single real TPU chip, pallas
       engine, 3 LM iterations, reports s/LM-iter (memory-feasibility proof)
+  python experiments/balscale_dryrun.py tpu_wtt  # single real TPU chip,
+      windowed track-table engine on a SEQUENTIAL-capture scene of the same
+      size (the layout that models real BAL trajectories), 3 LM iterations
 
 Must be the process's FIRST jax use (platform/device-count switching).
 """
@@ -112,9 +115,74 @@ def main_tpu():
     }), flush=True)
 
 
+def main_tpu_wtt():
+    import jax
+
+    from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+    from tpu3drecon.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import jax.numpy as jnp
+
+        from tpu3drecon.dataset.synthetic import (
+            make_sequential_scene,
+            perturb_scene,
+            scene_to_ba_problem,
+        )
+        from tpu3drecon.problems.wtt import wtt_from_flat
+
+        t0 = time.time()
+        scene = make_sequential_scene(
+            n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
+        )
+        noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+        wtt = wtt_from_flat(flat, point_chunk=512)
+        n_obs = int(sum(float(b.mask.sum()) for b in wtt.buckets))
+        shapes = [
+            (tuple(b.uv.shape), int(b.window)) for b in wtt.buckets
+        ]
+        onehot_gb = sum(
+            b.onehot.size * b.onehot.dtype.itemsize for b in wtt.buckets
+        ) / 1e9
+        print(
+            f"built sequential BAL-class problem in {time.time()-t0:.0f}s: "
+            f"{wtt.n_cameras} cams (c_pad {wtt.c_pad}), "
+            f"{wtt.n_real_points} real points, {n_obs} obs, "
+            f"buckets (uv shape, window)={shapes}, one-hots {onehot_gb:.2f} GB",
+            flush=True,
+        )
+    wtt = jax.device_put(wtt)
+
+    config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
+    solver = make_wtt_ba_solver(config)
+    t0 = time.time()
+    cams, pts, state = solver(wtt)
+    jax.block_until_ready(pts)
+    jax.device_get(state.loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    cams, pts, state = solver(wtt)
+    jax.block_until_ready(pts)
+    loss = float(jax.device_get(state.loss))
+    run_s = time.time() - t0
+    print(json.dumps({
+        "mode": "tpu_wtt_single_chip", "cams": int(wtt.n_cameras),
+        "points": int(wtt.n_real_points), "obs": n_obs, "lm_iters": 3,
+        "compile_s": round(compile_s, 1), "run_s": round(run_s, 2),
+        "s_per_lm_iter": round(run_s / 3, 3),
+        "loss": loss, "finite": loss == loss,
+        "accepted": int(jax.device_get(state.accepted)),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "cpu8"
     if mode == "cpu8":
         main_cpu8()
+    elif mode == "tpu_wtt":
+        main_tpu_wtt()
     else:
         main_tpu()

@@ -41,6 +41,23 @@ def test_solve_bal_writes_output(bal_file, tmp_path, capsys):
     assert rmse < 0.05
 
 
+@pytest.mark.parametrize("engine", ["tt", "wtt"])
+def test_solve_bal_track_table_engines(bal_file, tmp_path, engine):
+    out = tmp_path / f"solved_{engine}.txt"
+    rc = main([
+        "solve-bal", bal_file, "-o", str(out),
+        "--cpu", "--maxiter", "15", "--no-focal", "--f64",
+        "--engine", engine,
+    ])
+    assert rc == 0
+    from tpu3drecon.io.bal import ba_problem_from_bal
+    from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
+
+    solved, _ = ba_problem_from_bal(str(out))
+    rmse = float(reprojection_rmse(solved, solved.cameras, solved.points3d))
+    assert rmse < 0.05
+
+
 def test_solve_colmap_writeback(tmp_path):
     from tpu3drecon.dataset.synthetic import (
         make_scene,

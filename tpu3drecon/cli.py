@@ -23,8 +23,11 @@ def _add_common(p):
     p.add_argument("--maxiter", type=int, default=50)
     p.add_argument("--cg-maxiter", type=int, default=30)
     p.add_argument(
-        "--engine", choices=("flat", "grid", "pallas"), default="flat",
-        help="BA engine (pallas = fused-kernel fast path, TPU)",
+        "--engine", choices=("flat", "grid", "pallas", "tt", "wtt"),
+        default="flat",
+        help="BA engine (tt = gather-free track table, the fastest "
+        "single-chip path; wtt = windowed track table for BAL-scale "
+        "camera counts on sequential captures; pallas = fused kernels)",
     )
     p.add_argument("--no-focal", action="store_true", help="freeze focal lengths")
     p.add_argument("--loss", choices=("trivial", "cauchy"), default="trivial")
@@ -78,6 +81,20 @@ def _solve(problem, args, jax):
         grid = jax.device_put(grid_from_flat(problem))
         solver = make_grid_ba_solver(config)
         run = lambda: solver(grid)  # noqa: E731
+    elif args.engine == "tt":
+        from tpu3drecon.problems.tt import tt_from_flat
+        from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
+
+        tt = jax.device_put(tt_from_flat(problem))
+        solver = make_tt_ba_solver(config)
+        run = lambda: solver(tt)  # noqa: E731
+    elif args.engine == "wtt":
+        from tpu3drecon.problems.wtt import wtt_from_flat
+        from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
+
+        wtt = jax.device_put(wtt_from_flat(problem))
+        solver = make_wtt_ba_solver(config)
+        run = lambda: solver(wtt)  # noqa: E731
     else:
         solver = make_ba_solver(config)
         run = lambda: solver(problem)  # noqa: E731
@@ -167,7 +184,9 @@ def cmd_info(args):
         "devices": [str(d) for d in devs],
         "native_io": native.load_library() is not None,
         "engines": ["flat (implicit Schur)", "grid (scatter-free)",
-                    "pallas (fused kernels)", "sharded_grid (multi-chip)"],
+                    "pallas (fused kernels)", "tt (gather-free track table)",
+                    "wtt (windowed track table, BAL-scale)",
+                    "sharded_grid (multi-chip)", "sharded_tt (multi-chip)"],
     }, indent=2))
     return 0
 
