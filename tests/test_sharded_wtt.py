@@ -1,0 +1,106 @@
+"""Sharded windowed track-table BA vs the single-device wtt engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu3drecon.dataset.synthetic import (
+    make_sequential_scene,
+    perturb_scene,
+    scene_to_ba_problem,
+)
+from tpu3drecon.parallel.mesh import make_mesh
+from tpu3drecon.parallel.sharded_wtt import (
+    ba_solve_wtt_sharded,
+    shard_wtt_problem,
+)
+from tpu3drecon.problems.wtt import wtt_from_flat
+from tpu3drecon.solvers.ba_wtt import ba_solve_wtt
+from tpu3drecon.solvers.bundle_adjust import BAConfig, reprojection_rmse
+
+
+@pytest.fixture(scope="module")
+def problem_pair():
+    scene = make_sequential_scene(
+        n_cameras=24, points_per_camera=25, track_span=3, seed=15,
+        dist=(-0.05, 0.008),
+    )
+    noisy = perturb_scene(scene, seed=16, point2d_noise=0.0)
+    flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+    wtt = wtt_from_flat(flat, point_chunk=32, chunk_multiple=8)
+    return flat, wtt
+
+
+CONFIG = BAConfig(maxiter=12, gtol=1e-14, cg_maxiter=40, cg_rtol=1e-10)
+# One-step trajectory equality (see tests/test_sharded_tt.py for why).
+TRAJ_CONFIG = CONFIG._replace(maxiter=1)
+
+
+class TestShardedWTT:
+    @pytest.mark.parametrize("n_devices", [2, 8])
+    def test_matches_single_device(self, problem_pair, n_devices):
+        flat, wtt = problem_pair
+        mesh = make_mesh(n_devices)
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(wtt, TRAJ_CONFIG, mesh=mesh)
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, TRAJ_CONFIG)
+        assert int(st_s.accepted) == int(st_1.accepted)
+        np.testing.assert_allclose(
+            np.asarray(pts_s), np.asarray(pts_1), rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cams_s.tvecs), np.asarray(cams_1.tvecs), rtol=0, atol=1e-6
+        )
+        # Full run: the sharded solve reaches the noiseless optimum basin
+        # (line-trajectory scenes are gauge-weak and converge linearly;
+        # single-device reaches rmse 2.1e-3 / loss 4.7e-9 at these same 25
+        # iters — see test_ba_wtt.py).
+        cams_f, pts_f, st_f = ba_solve_wtt_sharded(
+            wtt, CONFIG._replace(maxiter=25, cg_rtol=1e-8), mesh=mesh
+        )
+        rmse = float(reprojection_rmse(flat, cams_f, pts_f))
+        assert rmse < 5e-3
+        assert float(st_f.loss) < 1e-8
+
+    def test_joint_distortion_sharded(self, problem_pair):
+        flat, wtt = problem_pair
+        mesh = make_mesh(4)
+        config = TRAJ_CONFIG._replace(optimize_dist=True)
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(wtt, config, mesh=mesh)
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, config)
+        assert int(st_s.accepted) == int(st_1.accepted)
+        np.testing.assert_allclose(
+            np.asarray(cams_s.dist), np.asarray(cams_1.dist), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pts_s), np.asarray(pts_1), rtol=0, atol=1e-6
+        )
+
+    def test_single_device_mesh_bit_exact(self, problem_pair):
+        # 1-device mesh: psum is identity; SPMD path must be bit-exact.
+        _, wtt = problem_pair
+        config = CONFIG._replace(maxiter=3, optimize_dist=True)
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(wtt, config, mesh=make_mesh(1))
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, config)
+        assert np.array_equal(np.asarray(pts_s), np.asarray(pts_1))
+        assert np.array_equal(np.asarray(cams_s.tvecs), np.asarray(cams_1.tvecs))
+        assert np.array_equal(np.asarray(cams_s.dist), np.asarray(cams_1.dist))
+        assert float(st_s.loss) == float(st_1.loss)
+
+    def test_divisibility_guard(self, problem_pair):
+        _, wtt = problem_pair
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_wtt_problem(wtt, make_mesh(3), "shard")
+
+    def test_onehot_shards_shrink(self, problem_pair):
+        # The dominant O(W*slots) array must divide across the mesh: each
+        # device's shard covers 1/D of the chunk axis.
+        _, wtt = problem_pair
+        mesh = make_mesh(8)
+        buckets, pts, cams, avg_w = shard_wtt_problem(wtt, mesh, mesh.axis_names[0])
+        for b_placed, b in zip(buckets, wtt.buckets):
+            shard_shape = b_placed.onehot.sharding.shard_shape(
+                b_placed.onehot.shape
+            )
+            assert shard_shape[0] * 8 == b.onehot.shape[0]
+            assert b_placed.window == b.window

@@ -107,18 +107,24 @@ def wtt_from_flat(
     bounds: Tuple[int, ...] = (2, 3, 4, 8),
     point_chunk: int = 512,
     max_onehot_bytes: int = 8 << 30,
+    chunk_multiple: int = 1,
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
     ``point_chunk`` is the chunk width Pc (also the point-axis padding
-    multiple).  The window W is derived from the data: the max 128-aligned
-    camera span of any chunk.  Raises ``ValueError`` if the windowed
-    one-hots would still exceed ``max_onehot_bytes``.
+    multiple).  The windows are derived from the data: the max 128-aligned
+    camera span of any chunk, per bucket.  Raises ``ValueError`` if the
+    windowed one-hots would still exceed ``max_onehot_bytes``.
+
+    ``chunk_multiple`` pads every bucket's chunk count G to a multiple
+    (pass the mesh size for the sharded engine, which splits the chunk
+    axis across devices: parallel/sharded_wtt.py).  Padding chunks carry
+    all-zero masks/one-hots and contribute exact zeros.
     """
     g = grid_bucketed_from_flat(
         problem,
         bounds=bounds,
-        point_block=point_chunk,
+        point_block=point_chunk * chunk_multiple,
         order_points_by_cam=True,
     )
     guv = np.asarray(jax.device_get(g.uv))
