@@ -102,6 +102,37 @@ def _pad_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _choose_cap(run_lengths, max_waste: float = 0.125, min_groups: int = 1) -> int:
+    """Group-size cap (in micro-chunks): fewest groups within a padding cap.
+
+    Groups are consecutive runs of micro-chunks sharing a cam_base; a run
+    longer than the cap splits into several groups of the same base, and
+    every group pads to ``cap`` micro-chunks (padded total
+    sum(ceil(r/cap))*cap).  Minimize the GROUP COUNT subject to padding
+    waste <= ``max_waste``: few, large batches are what the MXU wants
+    (measured: TPU batched matmul throughput collapses with hundreds of
+    small batches, experiments/tpu_batched_matmul.py), while cap=1 (zero
+    padding, one group per micro-chunk) always stays admissible as the
+    dislocal-data fallback.
+
+    ``min_groups`` (the mesh size for the sharded engine) keeps at least
+    that many groups when admissible, so devices don't idle.
+    """
+    if not run_lengths:
+        return 1
+    base_total = sum(run_lengths)
+    candidates = []
+    for cap in range(1, max(run_lengths) + 1):
+        total = sum(((r + cap - 1) // cap) * cap for r in run_lengths)
+        if total > base_total * (1.0 + max_waste):
+            continue
+        groups = sum((r + cap - 1) // cap for r in run_lengths)
+        candidates.append((cap, groups, total))
+    pool = [c for c in candidates if c[1] >= min_groups] or candidates
+    best = min(pool, key=lambda c: (c[1], c[2], -c[0]))
+    return best[0]
+
+
 def wtt_from_flat(
     problem: BAProblem,
     bounds: Tuple[int, ...] = (2, 3, 4, 8),
@@ -111,20 +142,30 @@ def wtt_from_flat(
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
-    ``point_chunk`` is the chunk width Pc (also the point-axis padding
-    multiple).  The windows are derived from the data: the max 128-aligned
-    camera span of any chunk, per bucket.  Raises ``ValueError`` if the
-    windowed one-hots would still exceed ``max_onehot_bytes``.
+    ``point_chunk`` is the MICRO-chunk width used to detect camera
+    locality; micro-chunks sharing the same 128-aligned window base are
+    merged into GROUPS (the arrays' leading axis), so the engine sees few,
+    large one-hot batches — B ~ c_pad/128 groups of ~slots/B columns on
+    sequential data — instead of hundreds of small ones.  (Measured on
+    TPU: hundreds of small batched matmuls run ~2 orders of magnitude
+    below the same work as few large batches;
+    experiments/tpu_batched_matmul.py.)  On camera-dislocal data every
+    micro-chunk keeps its own base and the layout degrades gracefully to
+    per-chunk batches.
 
-    ``chunk_multiple`` pads every bucket's chunk count G to a multiple
-    (pass the mesh size for the sharded engine, which splits the chunk
-    axis across devices: parallel/sharded_wtt.py).  Padding chunks carry
+    The windows are derived from the data: the max 128-aligned camera span
+    of any micro-chunk, per bucket.  Raises ``ValueError`` if the windowed
+    one-hots would exceed ``max_onehot_bytes``.
+
+    ``chunk_multiple`` pads every bucket's group count to a multiple (pass
+    the mesh size for the sharded engine, which splits the group axis
+    across devices: parallel/sharded_wtt.py).  Padding groups carry
     all-zero masks/one-hots and contribute exact zeros.
     """
     g = grid_bucketed_from_flat(
         problem,
         bounds=bounds,
-        point_block=point_chunk * chunk_multiple,
+        point_block=point_chunk,
         order_points_by_cam=True,
     )
     guv = np.asarray(jax.device_get(g.uv))
@@ -132,71 +173,109 @@ def wtt_from_flat(
     uv_flat = guv.reshape(C * K, 2)
     np_dtype = uv_flat.dtype
     c_pad = _pad_up(max(C, 1), CAM_TILE)
+    Pc = point_chunk
 
-    # Pass 1: PER-BUCKET window sizes (static; one jit cache entry per
-    # (bounds, windows) combination).  Short-track buckets are tiny but
-    # camera-wide after the camera-local sort; giving each bucket its own
-    # window keeps the dominant long-track buckets narrow.
-    windows = []
-    host_buckets = []
+    # Pass 1 (host): per-bucket window + per-micro-chunk clamped bases +
+    # grouping plan.  Short-track buckets are tiny but camera-wide after
+    # the camera-local sort; windows are PER BUCKET so they don't poison
+    # the dominant long-track buckets.
+    plans = []  # (ti, tc, tm, window, groups, cap) per bucket
     onehot_bytes = 0
     for b in g.buckets:
         ti = np.asarray(jax.device_get(b.track_idx))  # (Pb, Tb)
         tc = np.asarray(jax.device_get(b.track_cam))
         tm = np.asarray(jax.device_get(b.track_mask))
-        host_buckets.append((ti, tc, tm))
         Pb, Tb = ti.shape
-        n_chunks = Pb // point_chunk
+        n_chunks = Pb // Pc
         window = CAM_TILE
+        raw_bases = np.zeros(n_chunks, np.int64)
+        has_obs = np.zeros(n_chunks, bool)
         for gi in range(n_chunks):
-            sl = slice(gi * point_chunk, (gi + 1) * point_chunk)
+            sl = slice(gi * Pc, (gi + 1) * Pc)
             cams = tc[sl][tm[sl] > 0]
             if cams.size == 0:
                 continue
+            has_obs[gi] = True
             base = (int(cams.min()) // CAM_TILE) * CAM_TILE
             span = int(cams.max()) - base + 1
+            raw_bases[gi] = base
             window = max(window, _pad_up(span, CAM_TILE))
         window = min(window, c_pad)
-        windows.append(window)
-        onehot_bytes += window * n_chunks * Tb * point_chunk * np_dtype.itemsize
+
+        # Clamp bases inside c_pad; give empty (padding) micro-chunks the
+        # previous chunk's base so they merge into its group for free.
+        bases = np.minimum(raw_bases, c_pad - window)
+        prev = 0
+        for gi in range(n_chunks):
+            if has_obs[gi]:
+                prev = int(bases[gi])
+            else:
+                bases[gi] = prev
+
+        # Runs of equal base -> groups (runs longer than cap split).
+        runs = []
+        for gi in range(n_chunks):
+            if runs and bases[gi] == runs[-1][0]:
+                runs[-1][1] += 1
+            else:
+                runs.append([int(bases[gi]), 1])
+        cap = _choose_cap(
+            [r for _, r in runs], min_groups=max(chunk_multiple, 1)
+        )
+        groups = []  # (base, [micro-chunk indices])
+        gi = 0
+        for base, r in runs:
+            for lo in range(0, r, cap):
+                groups.append((base, list(range(gi + lo, gi + min(lo + cap, r)))))
+            gi += r
+        while len(groups) % max(chunk_multiple, 1):
+            groups.append((0, []))
+
+        plans.append((ti, tc, tm, window, groups, cap))
+        onehot_bytes += window * len(groups) * Tb * cap * Pc * np_dtype.itemsize
 
     if onehot_bytes > max_onehot_bytes:
         raise ValueError(
             f"windowed one-hots would be {onehot_bytes / 1e9:.2f} GB "
-            f"(windows={windows}); data has too little camera "
+            f"(windows={[p[3] for p in plans]}); data has too little camera "
             "locality at this scale — use the grid/pallas/sharded engines"
         )
 
+    g_pts = np.asarray(jax.device_get(g.points3d))
+    g_rows = np.asarray(jax.device_get(g.point_rows))
+    g_off = 0  # row offset of the current bucket inside g.points3d
+
     buckets = []
     offsets = []
+    pts_chunks = []
+    rows_chunks = []
     off = 0
-    for (ti, tc, tm), window in zip(host_buckets, windows):
+    for ti, tc, tm, window, groups, cap in plans:
         Pb, Tb = ti.shape
-        G = Pb // point_chunk
-        Pc = point_chunk
-        n = Tb * Pc
-        uv_b = np.zeros((G, 2, Tb, Pc), np_dtype)
-        mask_b = np.zeros((G, Tb, Pc), np_dtype)
-        onehot_b = np.zeros((G, window, n), np_dtype)
-        cam_base = np.zeros((G,), np.int32)
-        for gi in range(G):
-            sl = slice(gi * Pc, (gi + 1) * Pc)
-            ti_g = ti[sl].T  # (Tb, Pc)
-            tc_g = tc[sl].T
-            tm_g = tm[sl].T
-            uv_b[gi] = np.transpose(uv_flat[ti_g], (2, 0, 1))
-            mask_b[gi] = tm_g
-            real = tm_g.reshape(n) > 0
-            if not real.any():
-                continue
-            cams = tc_g.reshape(n)[real]
-            base = (int(cams.min()) // CAM_TILE) * CAM_TILE
-            # The aligned window must cover the span (guaranteed <= W by
-            # construction in pass 1); clamp so it stays inside c_pad.
-            base = min(base, c_pad - window)
-            cam_base[gi] = base
-            cols = np.nonzero(real)[0]
-            onehot_b[gi, cams - base, cols] = 1.0
+        B = len(groups)
+        Pc_eff = cap * Pc
+        n = Tb * Pc_eff
+        uv_b = np.zeros((B, 2, Tb, Pc_eff), np_dtype)
+        mask_b = np.zeros((B, Tb, Pc_eff), np_dtype)
+        onehot_b = np.zeros((B, window, n), np_dtype)
+        cam_base = np.zeros((B,), np.int32)
+        sel = np.full((B, Pc_eff), -1, np.int64)  # g.points3d row per column
+        for bi, (base, chunk_ids) in enumerate(groups):
+            cam_base[bi] = base
+            for j, gi in enumerate(chunk_ids):
+                sl = slice(gi * Pc, (gi + 1) * Pc)
+                ti_g = ti[sl].T  # (Tb, Pc)
+                tc_g = tc[sl].T
+                tm_g = tm[sl].T
+                col0 = j * Pc
+                uv_b[bi, :, :, col0 : col0 + Pc] = np.transpose(
+                    uv_flat[ti_g], (2, 0, 1)
+                )
+                mask_b[bi, :, col0 : col0 + Pc] = tm_g
+                tt_i, pp = np.nonzero(tm_g > 0)
+                cols = tt_i * Pc_eff + col0 + pp
+                onehot_b[bi, tc_g[tm_g > 0] - base, cols] = 1.0
+                sel[bi, col0 : col0 + Pc] = g_off + np.arange(gi * Pc, (gi + 1) * Pc)
         buckets.append(
             WTTBucket(
                 uv=jnp.asarray(uv_b),
@@ -206,15 +285,29 @@ def wtt_from_flat(
                 window=window,
             )
         )
+        sel = sel.reshape(-1)
+        valid = sel >= 0
+        pts_k = np.zeros((sel.size, 3), g_pts.dtype)
+        pts_k[valid] = g_pts[sel[valid]]
+        rows_k = np.full(sel.size, -1, np.int32)
+        rows_k[valid] = g_rows[sel[valid]]
+        pts_chunks.append(pts_k)
+        rows_chunks.append(rows_k)
         offsets.append(off)
-        off += Pb
+        off += sel.size
+        g_off += Pb
 
+    windows = [p[3] for p in plans]
     return BAWTTProblem(
         cameras=g.cameras,
-        points3d=g.points3d,
+        points3d=jnp.asarray(np.concatenate(pts_chunks, axis=0))
+        if pts_chunks
+        else g.points3d,
         buckets=tuple(buckets),
         avg_cam_width=g.avg_cam_width,
-        point_rows=g.point_rows,
+        point_rows=jnp.asarray(np.concatenate(rows_chunks, axis=0))
+        if rows_chunks
+        else g.point_rows,
         n_real_points=g.n_real_points,
         bucket_offsets=tuple(offsets),
         window=max(windows) if windows else CAM_TILE,
