@@ -100,7 +100,9 @@ def main(force_cpu: bool = False) -> None:
             from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
 
             flat_host = build_problem(on_host=True)
-            problem = jax.device_put(tt_from_flat(flat_host))
+            from tpu3drecon.utils.placement import commit
+
+            problem = commit(tt_from_flat(flat_host))
             solver = make_tt_ba_solver(BENCH_CONFIG)
             compile_s, run_s, (cams, pts, state) = timed_solve(
                 solver, problem, repeats=2

@@ -91,7 +91,9 @@ def main_tpu():
     # Build host-side (grid packing is host work), then one device_put.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         grid = build_problem()
-    grid = jax.device_put(grid)
+    from tpu3drecon.utils.placement import commit
+
+    grid = commit(grid)
 
     config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
     solver = make_pallas_ba_solver(config)
@@ -154,7 +156,9 @@ def main_tpu_wtt():
             f"buckets (uv shape, window)={shapes}, one-hots {onehot_gb:.2f} GB",
             flush=True,
         )
-    wtt = jax.device_put(wtt)
+    from tpu3drecon.utils.placement import commit
+
+    wtt = commit(wtt)
 
     config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
     solver = make_wtt_ba_solver(config)

@@ -56,7 +56,9 @@ def main():
             f"windows={[b.window for b in wtt.buckets]}",
             flush=True,
         )
-    wtt = jax.device_put(wtt)
+    from tpu3drecon.utils.placement import commit
+
+    wtt = commit(wtt)
 
     config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
     cams = wtt.cameras

@@ -190,3 +190,25 @@ class TestCompatOracle:
             pose44, hom, obs, k, np.ones(10, bool)
         )
         np.testing.assert_allclose(res, 0.0, atol=1e-12)
+
+
+class TestPlacement:
+    def test_commit_pytree_round_trip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpu3drecon.utils.placement import commit
+
+        tree = {
+            "np": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "jax": jnp.ones((4,)),
+            "static": 3,
+        }
+        out = commit(tree)
+        tgt = jax.devices()[0]
+        assert out["jax"].sharding.device_set == {tgt}
+        np.testing.assert_array_equal(np.asarray(out["np"]), tree["np"])
+        assert out["static"] == 3
+        # Idempotent: already-resident leaves pass through untouched.
+        out2 = commit(out)
+        assert out2["jax"] is out["jax"]

@@ -69,7 +69,9 @@ def _solve(problem, args, jax):
         from tpu3drecon.problems.grid import grid_bucketed_from_flat, unpermute_points
         from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
 
-        grid = jax.device_put(grid_bucketed_from_flat(problem))
+        from tpu3drecon.utils.placement import commit
+
+        grid = commit(grid_bucketed_from_flat(problem))
         solver = make_pallas_ba_solver(
             config, interpret=jax.default_backend() != "tpu"
         )
@@ -78,21 +80,27 @@ def _solve(problem, args, jax):
         from tpu3drecon.problems.grid import grid_from_flat
         from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
 
-        grid = jax.device_put(grid_from_flat(problem))
+        from tpu3drecon.utils.placement import commit
+
+        grid = commit(grid_from_flat(problem))
         solver = make_grid_ba_solver(config)
         run = lambda: solver(grid)  # noqa: E731
     elif args.engine == "tt":
         from tpu3drecon.problems.tt import tt_from_flat
         from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
 
-        tt = jax.device_put(tt_from_flat(problem))
+        from tpu3drecon.utils.placement import commit
+
+        tt = commit(tt_from_flat(problem))
         solver = make_tt_ba_solver(config)
         run = lambda: solver(tt)  # noqa: E731
     elif args.engine == "wtt":
         from tpu3drecon.problems.wtt import wtt_from_flat
         from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
 
-        wtt = jax.device_put(wtt_from_flat(problem))
+        from tpu3drecon.utils.placement import commit
+
+        wtt = commit(wtt_from_flat(problem))
         solver = make_wtt_ba_solver(config)
         run = lambda: solver(wtt)  # noqa: E731
     else:
