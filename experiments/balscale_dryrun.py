@@ -8,6 +8,8 @@ Modes:
   python experiments/balscale_dryrun.py tpu_wtt  # single real TPU chip,
       windowed track-table engine on a SEQUENTIAL-capture scene of the same
       size (the layout that models real BAL trajectories), 3 LM iterations
+  python experiments/balscale_dryrun.py cpu8_wtt  # 8-device virtual CPU
+      mesh, SHARDED windowed track-table engine at full BAL scale
 
 Must be the process's FIRST jax use (platform/device-count switching).
 """
@@ -117,6 +119,57 @@ def main_tpu():
     }), flush=True)
 
 
+def main_cpu8_wtt():
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) == 8, jax.devices()
+    import jax.numpy as jnp
+
+    from tpu3drecon.dataset.synthetic import (
+        make_sequential_scene,
+        perturb_scene,
+        scene_to_ba_problem,
+    )
+    from tpu3drecon.parallel.mesh import make_mesh
+    from tpu3drecon.parallel.sharded_wtt import ba_solve_wtt_sharded
+    from tpu3drecon.problems.wtt import wtt_from_flat
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+
+    t0 = time.time()
+    scene = make_sequential_scene(
+        n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
+    )
+    noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
+    flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+    wtt = wtt_from_flat(flat, point_chunk=512, chunk_multiple=8)
+    print(
+        f"built sequential BAL-class problem in {time.time()-t0:.0f}s: "
+        f"{wtt.n_cameras} cams, {wtt.n_real_points} pts, groups="
+        f"{[b.uv.shape[0] for b in wtt.buckets]}",
+        flush=True,
+    )
+    mesh = make_mesh(8)
+    config = BAConfig(maxiter=1, gtol=0.0, ftol=0.0, cg_maxiter=2, cg_rtol=1e-6)
+    t0 = time.time()
+    cams, pts, state = ba_solve_wtt_sharded(wtt, config, mesh=mesh)
+    jax.block_until_ready(pts)
+    total = time.time() - t0
+    loss = float(jax.device_get(state.loss))
+    print(json.dumps({
+        "mode": "cpu8_sharded_wtt", "cams": int(wtt.n_cameras),
+        "points": int(wtt.n_real_points),
+        "lm_iters": 1, "compile_plus_run_s": round(total, 1),
+        "loss": loss, "finite": loss == loss,
+        "accepted": int(jax.device_get(state.accepted)),
+    }), flush=True)
+
+
 def main_tpu_wtt():
     import jax
 
@@ -186,6 +239,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "cpu8"
     if mode == "cpu8":
         main_cpu8()
+    elif mode == "cpu8_wtt":
+        main_cpu8_wtt()
     elif mode == "tpu_wtt":
         main_tpu_wtt()
     else:
