@@ -115,6 +115,39 @@ class TestWTTPacking:
         with pytest.raises(ValueError, match="one-hot"):
             wtt_from_flat(seq_problem, point_chunk=64, max_onehot_bytes=16)
 
+    def test_choose_cap(self):
+        from tpu3drecon.problems.wtt import _choose_cap
+
+        # Uniform long runs merge fully (one group per run, zero waste).
+        assert _choose_cap([100, 100, 100]) == 100
+        # All-distinct bases: cap stays 1 (any larger cap is 100% waste).
+        assert _choose_cap([1] * 50) == 1
+        # Mixed: a cap of 100 would pad the two 1-runs by 99 each (>12.5%);
+        # the best admissible cap keeps waste bounded.
+        cap = _choose_cap([100, 1, 1])
+        total = sum(((r + cap - 1) // cap) * cap for r in [100, 1, 1])
+        assert total <= 102 * 1.125
+        # min_groups forces enough groups for a mesh when admissible.
+        cap8 = _choose_cap([64], min_groups=8)
+        assert 64 // cap8 >= 8
+        assert _choose_cap([]) == 1
+
+    def test_grouping_merges_sequential_chunks(self):
+        # A long sequential scene must pack into FEW groups (the MXU wants
+        # few large batches), with counts preserved.
+        scene = make_sequential_scene(
+            n_cameras=192, points_per_camera=16, track_span=4, seed=21
+        )
+        flat, _ = scene_to_ba_problem(scene, observed=scene)
+        wtt = wtt_from_flat(flat, point_chunk=64)
+        dominant = max(wtt.buckets, key=lambda b: b.mask.size)
+        tb = dominant.mask.shape[1]
+        n_micro = dominant.mask.size // (tb * 64)
+        assert dominant.uv.shape[0] * 4 <= n_micro  # actually merged
+        n_real = int(np.array(flat.mask).sum())
+        total = sum(int(np.array(b.mask).sum()) for b in wtt.buckets)
+        assert total == n_real
+
 
 class TestWTTSolve:
     def test_matches_tt_engine(self, seq_problem, wtt_problem):
