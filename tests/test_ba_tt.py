@@ -34,7 +34,7 @@ class TestTTPacking:
         total = sum(int(np.array(b.mask).sum()) for b in tt_problem.buckets)
         assert total == n_real
         onehot_total = sum(
-            int(np.array(b.onehot).sum()) for b in tt_problem.buckets
+            int(np.array(b.onehot, dtype=np.float64).sum()) for b in tt_problem.buckets
         )
         assert onehot_total == n_real
 
@@ -45,7 +45,8 @@ class TestTTPacking:
             mask = np.array(b.mask).reshape(-1)
             # Each real slot selects exactly its camera; padding rows are 0.
             onehot = onehot.reshape(onehot.shape[0], -1)
-            assert np.array_equal(onehot.sum(axis=0), (mask > 0).astype(onehot.dtype))
+            onehot = onehot.astype(np.float64)
+            assert np.array_equal(onehot.sum(axis=0), (mask > 0).astype(np.float64))
             rows = onehot.argmax(axis=0)
             np.testing.assert_array_equal(rows[mask > 0], cam[mask > 0])
 

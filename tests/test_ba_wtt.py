@@ -40,7 +40,7 @@ class TestWTTPacking:
         total = sum(int(np.array(b.mask).sum()) for b in wtt_problem.buckets)
         assert total == n_real
         onehot_total = sum(
-            int(np.array(b.onehot).sum()) for b in wtt_problem.buckets
+            int(np.array(b.onehot, dtype=np.float64).sum()) for b in wtt_problem.buckets
         )
         assert onehot_total == n_real
 
@@ -59,7 +59,7 @@ class TestWTTPacking:
         wtt_pairs = []
         for b in wtt_problem.buckets:
             uv = np.array(b.uv)  # (G, 2, Tb, Pc)
-            onehot = np.array(b.onehot)  # (G, W, Tb*Pc)
+            onehot = np.array(b.onehot, dtype=np.float64)  # (G, W, Tb*Pc)
             base = np.array(b.cam_base)
             g_, _, tb, pc = uv.shape
             for gi in range(g_):

@@ -56,8 +56,10 @@ def shard_ba_problem(problem, mesh: Mesh, axis_name: str = OBS_AXIS):
     obs = obs_sharding(mesh, axis_name)
     rep = replicated_sharding(mesh)
 
+    from tpu3drecon.utils.placement import sharded_put
+
     def place(x, sharded: bool):
-        return jax.device_put(x, obs if sharded else rep)
+        return sharded_put(x, obs if sharded else rep)
 
     return BAProblem(
         cameras=jtu.tree_map(lambda x: place(x, False), problem.cameras),

@@ -94,7 +94,7 @@ def shard_grid_problem(
     problem = pad_cameras_for_mesh(problem, mesh.devices.size)
     cam = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
-    put = jax.device_put
+    from tpu3drecon.utils.placement import sharded_put as put
     return dataclasses.replace(
         problem,
         cameras=CameraParams(

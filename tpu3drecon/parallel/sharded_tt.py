@@ -77,7 +77,7 @@ def shard_tt_problem(
     rep = NamedSharding(mesh, P())
     pt2 = NamedSharding(mesh, P(None, axis_name))
     pt3 = NamedSharding(mesh, P(None, None, axis_name))
-    put = jax.device_put
+    from tpu3drecon.utils.placement import sharded_put as put
 
     def onehot3(b: TTBucket) -> jax.Array:
         # Single-chip problems store the one-hot flat (C, Tb*Pb); the point

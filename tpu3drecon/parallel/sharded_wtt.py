@@ -89,7 +89,7 @@ def shard_wtt_problem(
     rep = NamedSharding(mesh, P())
     chunk0 = NamedSharding(mesh, P(axis_name))
     chunk1 = NamedSharding(mesh, P(None, axis_name))
-    put = jax.device_put
+    from tpu3drecon.utils.placement import sharded_put as put
 
     buckets = tuple(
         WTTBucket(

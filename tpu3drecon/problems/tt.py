@@ -99,13 +99,20 @@ def tt_from_flat(
     bounds: Tuple[int, ...] = (2, 3, 4, 8),
     point_block: int = 512,
     max_onehot_bytes: int = 2 << 30,
+    onehot_dtype=None,
 ) -> BATTProblem:
     """Repack a flat BAProblem into the track-table layout (host-side).
 
     Reuses the bucketed-grid builder for the track bucketing/permutation, then
     derives per-slot observations and the one-hot camera matrices.  Raises
     ``ValueError`` when the one-hot matrices would exceed ``max_onehot_bytes``
-    (large camera counts belong on the grid/pallas/sharded engines).
+    (large camera counts belong on the windowed engine, problems/wtt.py).
+
+    ``onehot_dtype`` defaults to bfloat16: {0,1} is exactly representable,
+    the engine's mixed-precision contractions convert it back exactly (the
+    convert fuses into the matmul operand read), and the dominant HBM
+    stream halves — measured 1.3-1.55x on the contraction kernels
+    (experiments/tpu_bf16_onehot.py) with bit-identical results.
     """
     g = grid_bucketed_from_flat(problem, bounds=bounds, point_block=point_block)
     guv = np.asarray(jax.device_get(g.uv))
@@ -117,7 +124,10 @@ def tt_from_flat(
         int(np.prod(np.asarray(jax.device_get(b.track_mask)).shape))
         for b in g.buckets
     )
-    onehot_bytes = C * total_slots * np_dtype.itemsize
+    import jax.numpy as _jnp
+
+    oh_dtype = _jnp.bfloat16 if onehot_dtype is None else onehot_dtype
+    onehot_bytes = C * total_slots * _jnp.dtype(oh_dtype).itemsize
     if onehot_bytes > max_onehot_bytes:
         raise ValueError(
             f"track-table one-hot would be {onehot_bytes / 1e9:.2f} GB "
@@ -148,7 +158,7 @@ def tt_from_flat(
                 uv=jnp.asarray(uv_planes),
                 mask=jnp.asarray(mask_planes),
                 cam_ids=jnp.asarray(cam_planes),
-                onehot=jnp.asarray(onehot),
+                onehot=jnp.asarray(onehot, oh_dtype),
             )
         )
         offsets.append(off)

@@ -139,6 +139,7 @@ def wtt_from_flat(
     point_chunk: int = 512,
     max_onehot_bytes: int = 8 << 30,
     chunk_multiple: int = 1,
+    onehot_dtype=None,
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
@@ -172,6 +173,10 @@ def wtt_from_flat(
     C, K = guv.shape[:2]
     uv_flat = guv.reshape(C * K, 2)
     np_dtype = uv_flat.dtype
+    # bf16 one-hot storage by default: {0,1} converts back exactly inside
+    # the engine's contractions and halves the dominant HBM stream
+    # (measured 1.3-1.55x, experiments/tpu_bf16_onehot.py).
+    oh_dtype = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
     c_pad = _pad_up(max(C, 1), CAM_TILE)
     Pc = point_chunk
 
@@ -232,7 +237,9 @@ def wtt_from_flat(
             groups.append((0, []))
 
         plans.append((ti, tc, tm, window, groups, cap))
-        onehot_bytes += window * len(groups) * Tb * cap * Pc * np_dtype.itemsize
+        onehot_bytes += (
+            window * len(groups) * Tb * cap * Pc * jnp.dtype(oh_dtype).itemsize
+        )
 
     if onehot_bytes > max_onehot_bytes:
         raise ValueError(
@@ -280,7 +287,7 @@ def wtt_from_flat(
             WTTBucket(
                 uv=jnp.asarray(uv_b),
                 mask=jnp.asarray(mask_b),
-                onehot=jnp.asarray(onehot_b),
+                onehot=jnp.asarray(onehot_b, oh_dtype),
                 cam_base=jnp.asarray(cam_base),
                 window=window,
             )

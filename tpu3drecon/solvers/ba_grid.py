@@ -409,9 +409,22 @@ def _ba_solve_grid_impl(problem, config):
 
 
 _GRID_SOLVER_CACHE: dict = {}
+_GRID_JIT_CACHE: dict = {}
 
 
 def make_grid_ba_solver(config: BAConfig = BAConfig()):
     if config not in _GRID_SOLVER_CACHE:
-        _GRID_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_grid(p, config))
+        from tpu3drecon.solvers.bundle_adjust import (
+            merge_dynamic_config,
+            split_dynamic_config,
+        )
+
+        static, dyn = split_dynamic_config(config)
+        jfn = _GRID_JIT_CACHE.get(static)
+        if jfn is None:
+            jfn = jax.jit(
+                lambda p, d, s=static: ba_solve_grid(p, merge_dynamic_config(s, d))
+            )
+            _GRID_JIT_CACHE[static] = jfn
+        _GRID_SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
     return _GRID_SOLVER_CACHE[config]

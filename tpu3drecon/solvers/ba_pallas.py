@@ -370,12 +370,26 @@ def _ba_solve_pallas_impl(problem, config, interpret):
 
 
 _PALLAS_SOLVER_CACHE: dict = {}
+_PALLAS_JIT_CACHE: dict = {}
 
 
 def make_pallas_ba_solver(config: BAConfig = BAConfig(), interpret: bool = False):
     key = (config, interpret)
     if key not in _PALLAS_SOLVER_CACHE:
-        _PALLAS_SOLVER_CACHE[key] = jax.jit(
-            lambda p: ba_solve_pallas(p, config, interpret)
+        from tpu3drecon.solvers.bundle_adjust import (
+            merge_dynamic_config,
+            split_dynamic_config,
         )
+
+        static, dyn = split_dynamic_config(config)
+        jkey = (static, interpret)
+        jfn = _PALLAS_JIT_CACHE.get(jkey)
+        if jfn is None:
+            jfn = jax.jit(
+                lambda p, d, s=static: ba_solve_pallas(
+                    p, merge_dynamic_config(s, d), interpret
+                )
+            )
+            _PALLAS_JIT_CACHE[jkey] = jfn
+        _PALLAS_SOLVER_CACHE[key] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
     return _PALLAS_SOLVER_CACHE[key]

@@ -565,9 +565,22 @@ def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None):
 
 
 _TT_SOLVER_CACHE: dict = {}
+_TT_JIT_CACHE: dict = {}
 
 
 def make_tt_ba_solver(config: BAConfig = BAConfig()):
     if config not in _TT_SOLVER_CACHE:
-        _TT_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_tt(p, config))
+        from tpu3drecon.solvers.bundle_adjust import (
+            merge_dynamic_config,
+            split_dynamic_config,
+        )
+
+        static, dyn = split_dynamic_config(config)
+        jfn = _TT_JIT_CACHE.get(static)
+        if jfn is None:
+            jfn = jax.jit(
+                lambda p, d, s=static: ba_solve_tt(p, merge_dynamic_config(s, d))
+            )
+            _TT_JIT_CACHE[static] = jfn
+        _TT_SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
     return _TT_SOLVER_CACHE[config]

@@ -428,9 +428,22 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
 
 
 _WTT_SOLVER_CACHE: dict = {}
+_WTT_JIT_CACHE: dict = {}
 
 
 def make_wtt_ba_solver(config: BAConfig = BAConfig()):
     if config not in _WTT_SOLVER_CACHE:
-        _WTT_SOLVER_CACHE[config] = jax.jit(lambda p: ba_solve_wtt(p, config))
+        from tpu3drecon.solvers.bundle_adjust import (
+            merge_dynamic_config,
+            split_dynamic_config,
+        )
+
+        static, dyn = split_dynamic_config(config)
+        jfn = _WTT_JIT_CACHE.get(static)
+        if jfn is None:
+            jfn = jax.jit(
+                lambda p, d, s=static: ba_solve_wtt(p, merge_dynamic_config(s, d))
+            )
+            _WTT_JIT_CACHE[static] = jfn
+        _WTT_SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
     return _WTT_SOLVER_CACHE[config]

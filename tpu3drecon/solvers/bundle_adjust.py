@@ -64,6 +64,50 @@ class BAConfig(NamedTuple):
     packed_gathers: bool = False
 
 
+class DynamicBAParams(NamedTuple):
+    """The BAConfig fields that are pure runtime scalars inside the
+    compiled program (loop bounds and tolerances).  Passing them as jnp
+    operands instead of baked constants lets ONE compiled executable serve
+    every hyperparameter setting — at BAL scale a compile costs minutes,
+    so sweeping maxiter/cg settings must not recompile."""
+
+    maxiter: jax.Array
+    gtol: jax.Array
+    ftol: jax.Array
+    init_lambda: jax.Array
+    cg_maxiter: jax.Array
+    cg_rtol: jax.Array
+
+
+_DYN_SENTINEL = dict(
+    maxiter=-1, gtol=-1.0, ftol=-1.0, init_lambda=-1.0, cg_maxiter=-1,
+    cg_rtol=-1.0,
+)
+
+
+def split_dynamic_config(config: "BAConfig"):
+    """(static_key, dynamic_operands): the static part keys the jit cache;
+    the dynamic part rides in as arrays (see DynamicBAParams)."""
+    import jax.numpy as jnp
+
+    # Float tolerances keep the default float width (f64 under x64, f32
+    # otherwise) so the dynamic path rounds identically to baked constants.
+    dyn = DynamicBAParams(
+        maxiter=jnp.asarray(config.maxiter, jnp.int32),
+        gtol=jnp.asarray(float(config.gtol)),
+        ftol=jnp.asarray(float(config.ftol)),
+        init_lambda=jnp.asarray(float(config.init_lambda)),
+        cg_maxiter=jnp.asarray(config.cg_maxiter, jnp.int32),
+        cg_rtol=jnp.asarray(float(config.cg_rtol)),
+    )
+    return config._replace(**_DYN_SENTINEL), dyn
+
+
+def merge_dynamic_config(static: "BAConfig", dyn: DynamicBAParams) -> "BAConfig":
+    """Rebuild a trace-time config whose dynamic fields are tracers."""
+    return static._replace(**dyn._asdict())
+
+
 class BAState(NamedTuple):
     rmats: jax.Array  # (C,3,3)
     tvecs: jax.Array  # (C,3)
@@ -286,16 +330,25 @@ def _ba_solve_impl(
 
 
 _SOLVER_CACHE: dict = {}
+_JIT_CACHE: dict = {}
 
 
 def make_ba_solver(config: BAConfig = BAConfig()):
     """Jitted BA solver for a fixed config (cached, zeros-compile friendly —
     the counterpart of the reference's JaxBundleAdjustment.compile warm-up,
-    bundle_adjustment.py:122-129; bucketed problem shapes reuse the cache)."""
-    key = config
-    if key not in _SOLVER_CACHE:
-        _SOLVER_CACHE[key] = jax.jit(lambda p: ba_solve(p, config))
-    return _SOLVER_CACHE[key]
+    bundle_adjustment.py:122-129; bucketed problem shapes reuse the cache).
+    Loop bounds/tolerances ride in as dynamic operands, so configs that
+    differ only in those share one compiled executable."""
+    if config not in _SOLVER_CACHE:
+        static, dyn = split_dynamic_config(config)
+        jfn = _JIT_CACHE.get(static)
+        if jfn is None:
+            jfn = jax.jit(
+                lambda p, d, s=static: ba_solve(p, merge_dynamic_config(s, d))
+            )
+            _JIT_CACHE[static] = jfn
+        _SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
+    return _SOLVER_CACHE[config]
 
 
 def reprojection_rmse(problem: BAProblem, cameras: CameraParams, points3d: jax.Array) -> jax.Array:

@@ -20,9 +20,17 @@ _DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".jax_cache"
 
 
 def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> str:
-    """Enable jax's persistent compilation cache; returns the cache dir."""
+    """Enable jax's persistent compilation cache; returns the cache dir.
+
+    ``TPU3DRECON_CACHE_DISABLE=1`` makes this a no-op: the test suite sets
+    it because jax's cache WRITE path (executable serialization + zstd) has
+    segfaulted suite runs twice under concurrent load, and the cache buys
+    nothing on the fast-compiling virtual CPU mesh.
+    """
     import jax
 
+    if os.environ.get("TPU3DRECON_CACHE_DISABLE"):
+        return ""
     path = Path(
         cache_dir
         or os.environ.get("TPU3DRECON_CACHE_DIR")

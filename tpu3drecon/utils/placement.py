@@ -21,6 +21,20 @@ import jax
 import numpy as np
 
 
+def sharded_put(x: Any, sharding: Any) -> Any:
+    """``jax.device_put`` onto a (Named)Sharding, round-tripping
+    cross-platform jax leaves through numpy first (see module docstring:
+    a CPU-jax array device_put onto the remote TPU is host-streamed on
+    every read).  Host-side packers build arrays on whatever backend is
+    default, so the sharded placement paths must not trust them."""
+    if isinstance(x, jax.Array):
+        src = {d.platform for d in getattr(x.sharding, "device_set", set())}
+        tgt = {d.platform for d in sharding.device_set}
+        if src and src != tgt:
+            x = np.asarray(jax.device_get(x))
+    return jax.device_put(x, sharding)
+
+
 def commit(tree: Any, device: Optional[Any] = None) -> Any:
     """Place a pytree on ``device`` (default: the default jax device),
     round-tripping cross-platform jax leaves through numpy so they land as
