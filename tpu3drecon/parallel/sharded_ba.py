@@ -40,35 +40,56 @@ def _problem_in_specs(axis_name: str) -> BAProblem:
     )
 
 
+_SHARDED_BA_CACHE: dict = {}
+
+
 def make_sharded_ba_solver(
     mesh: Mesh,
     config: BAConfig = BAConfig(),
     axis_name: str = OBS_AXIS,
 ):
-    """Build a jitted sharded BA solver for a mesh + config.
+    """Build a jitted sharded BA solver for a mesh + config (cached).
 
     The returned callable takes a BAProblem already placed with
     ``shard_ba_problem`` (or any BAProblem — jit will reshard as needed) and
-    returns (CameraParams, points3d, BAState) replicated.
+    returns (CameraParams, points3d, BAState) replicated.  Loop bounds and
+    tolerances ride in as replicated dynamic operands (one compile per
+    static config; see solvers.bundle_adjust.split_dynamic_config).
     """
-    solver_local = functools.partial(ba_solve, config=config, axis_name=axis_name)
-
-    sharded = jax.shard_map(
-        solver_local,
-        mesh=mesh,
-        in_specs=(_problem_in_specs(axis_name),),
-        out_specs=(
-            CameraParams(rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P(), dist=P()),
-            P(),
-            BAState(
-                rmats=P(), tvecs=P(), fx_fy=P(), points3d=P(), loss=P(),
-                lam=P(), nu=P(), iter_num=P(), accepted=P(), grad_norm=P(),
-                converged=P(), cg_iters=P(), gain=P(),
-            ),
-        ),
-        check_vma=False,
+    from tpu3drecon.solvers.bundle_adjust import (
+        DynamicBAParams,
+        merge_dynamic_config,
+        split_dynamic_config,
     )
-    return jax.jit(sharded)
+
+    static, dyn = split_dynamic_config(config)
+    key = (id(mesh), static, axis_name)
+    jfn = _SHARDED_BA_CACHE.get(key)
+    if jfn is None:
+        def local(problem, d):
+            return ba_solve(
+                problem, merge_dynamic_config(static, d), axis_name=axis_name
+            )
+
+        rep_dyn = DynamicBAParams(*(P() for _ in DynamicBAParams._fields))
+        sharded = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(_problem_in_specs(axis_name), rep_dyn),
+            out_specs=(
+                CameraParams(rmats=P(), tvecs=P(), fx_fy=P(), cx_cy_skew=P(), dist=P()),
+                P(),
+                BAState(
+                    rmats=P(), tvecs=P(), fx_fy=P(), points3d=P(), loss=P(),
+                    lam=P(), nu=P(), iter_num=P(), accepted=P(), grad_norm=P(),
+                    converged=P(), cg_iters=P(), gain=P(),
+                ),
+            ),
+            check_vma=False,
+        )
+        jfn = jax.jit(sharded)
+        _SHARDED_BA_CACHE[key] = jfn
+    return lambda placed, _j=jfn, _d=dyn: _j(placed, _d)
 
 
 def ba_solve_sharded(

@@ -192,9 +192,17 @@ def make_sharded_grid_solver(
     if kernels == "auto":
         kernels = "pallas" if mesh.devices.ravel()[0].platform == "tpu" else "xla"
     interpret = mesh.devices.ravel()[0].platform != "tpu"
-    key = (id(mesh), config, axis_name, kernels)
+    from tpu3drecon.solvers.bundle_adjust import (
+        DynamicBAParams,
+        merge_dynamic_config,
+        split_dynamic_config,
+    )
+
+    static, dyn = split_dynamic_config(config)
+    key = (id(mesh), static, axis_name, kernels)
     if key in _SHARDED_GRID_CACHE:
-        return _SHARDED_GRID_CACHE[key]
+        jfn = _SHARDED_GRID_CACHE[key]
+        return lambda placed, _j=jfn, _d=dyn: _j(placed, _d)
 
     cam = P(axis_name)
     rep = P()
@@ -217,12 +225,14 @@ def make_sharded_grid_solver(
             n_real_points=n_real_points,
         )
 
-    def solve(placed):
+    def solve(placed, dyn_in):
         n_buckets = len(placed.buckets)
-        local = functools.partial(
-            _solve_local, config=config, axis_name=axis_name,
-            kernels=kernels, interpret=interpret,
-        )
+
+        def local(problem, d):
+            return _solve_local(
+                problem, config=merge_dynamic_config(static, d),
+                axis_name=axis_name, kernels=kernels, interpret=interpret,
+            )
         out_specs = (
             CameraParams(rmats=rep, tvecs=rep, fx_fy=rep, cx_cy_skew=rep, dist=rep),
             rep,
@@ -232,19 +242,20 @@ def make_sharded_grid_solver(
                 converged=rep, cg_iters=rep, gain=rep,
             ),
         )
+        rep_dyn = DynamicBAParams(*(P() for _ in DynamicBAParams._fields))
         sharded = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(problem_specs(n_buckets, placed.n_real_points),),
+            in_specs=(problem_specs(n_buckets, placed.n_real_points), rep_dyn),
             out_specs=out_specs,
             check_vma=False,
         )
         with jax.default_matmul_precision("highest"):
-            return sharded(placed)
+            return sharded(placed, dyn_in)
 
-    solver = jax.jit(solve)
-    _SHARDED_GRID_CACHE[key] = solver
-    return solver
+    jfn = jax.jit(solve)
+    _SHARDED_GRID_CACHE[key] = jfn
+    return lambda placed, _j=jfn, _d=dyn: _j(placed, _d)
 
 
 def _solve_local(problem, *, config: BAConfig, axis_name: str,

@@ -142,9 +142,17 @@ def make_sharded_tt_solver(
     n_buckets: int = 1,
 ):
     """Jitted shard_map track-table solver for a mesh + config (cached)."""
-    key = (id(mesh), config, axis_name, n_buckets)
+    from tpu3drecon.solvers.bundle_adjust import (
+        DynamicBAParams,
+        merge_dynamic_config,
+        split_dynamic_config,
+    )
+
+    static, dyn = split_dynamic_config(config)
+    key = (id(mesh), static, axis_name, n_buckets)
     if key in _SHARDED_TT_CACHE:
-        return _SHARDED_TT_CACHE[key]
+        jfn = _SHARDED_TT_CACHE[key]
+        return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)
 
     rep = P()
     pt2 = P(None, axis_name)
@@ -167,26 +175,28 @@ def make_sharded_tt_solver(
         final_spec,
     )
 
-    def local(buckets, pts, cams, avg_w):
+    def local(buckets, pts, cams, avg_w, d):
         view = _TTView(cams, buckets, avg_w)
         cameras_out, pts_out, final = _ba_solve_tt_core(
-            view, pts, config, axis_name
+            view, pts, merge_dynamic_config(static, d), axis_name
         )
         # Outputs: cameras replicated already (identical on every device);
         # pts_out are the local point shards; scalars replicated.
         return cameras_out, pts_out, final._replace(params=None)
 
-    def solve(buckets, pts, cams, avg_w):
+    rep_dyn = DynamicBAParams(*(rep for _ in DynamicBAParams._fields))
+
+    def solve(buckets, pts, cams, avg_w, dyn_in):
         sharded = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=in_specs,
+            in_specs=in_specs + (rep_dyn,),
             out_specs=out_specs,
             check_vma=False,
         )
         with jax.default_matmul_precision("highest"):
-            return sharded(buckets, pts, cams, avg_w)
+            return sharded(buckets, pts, cams, avg_w, dyn_in)
 
-    solver = jax.jit(solve)
-    _SHARDED_TT_CACHE[key] = solver
-    return solver
+    jfn = jax.jit(solve)
+    _SHARDED_TT_CACHE[key] = jfn
+    return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)

@@ -148,9 +148,17 @@ def make_sharded_wtt_solver(
     c_pad: int = 128,
 ):
     """Jitted shard_map wtt solver for a mesh + config (cached)."""
-    key = (id(mesh), config, axis_name, windows, c_pad)
+    from tpu3drecon.solvers.bundle_adjust import (
+        DynamicBAParams,
+        merge_dynamic_config,
+        split_dynamic_config,
+    )
+
+    static, dyn = split_dynamic_config(config)
+    key = (id(mesh), static, axis_name, windows, c_pad)
     if key in _SHARDED_WTT_CACHE:
-        return _SHARDED_WTT_CACHE[key]
+        jfn = _SHARDED_WTT_CACHE[key]
+        return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)
 
     rep = P()
     chunk = P(axis_name)
@@ -171,24 +179,26 @@ def make_sharded_wtt_solver(
     )
     out_specs = (cam_spec, tuple(pts_spec for _ in windows), final_spec)
 
-    def local(buckets, pts, cams, avg_w):
+    def local(buckets, pts, cams, avg_w, d):
         view = _WTTView(cams, buckets, avg_w, c_pad)
         cameras_out, pts_out, final = _ba_solve_wtt_core(
-            view, pts, config, axis_name
+            view, pts, merge_dynamic_config(static, d), axis_name
         )
         return cameras_out, pts_out, final._replace(params=None)
 
-    def solve(buckets, pts, cams, avg_w):
+    rep_dyn = DynamicBAParams(*(rep for _ in DynamicBAParams._fields))
+
+    def solve(buckets, pts, cams, avg_w, dyn_in):
         sharded = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=in_specs,
+            in_specs=in_specs + (rep_dyn,),
             out_specs=out_specs,
             check_vma=False,
         )
         with jax.default_matmul_precision("highest"):
-            return sharded(buckets, pts, cams, avg_w)
+            return sharded(buckets, pts, cams, avg_w, dyn_in)
 
-    solver = jax.jit(solve)
-    _SHARDED_WTT_CACHE[key] = solver
-    return solver
+    jfn = jax.jit(solve)
+    _SHARDED_WTT_CACHE[key] = jfn
+    return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)
