@@ -14,7 +14,6 @@ analog exists in the reference (single device); XLA owns the transport here.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -33,7 +33,6 @@ engine is asserted in tests/test_sharded_grid.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

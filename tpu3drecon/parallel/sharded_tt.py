@@ -27,7 +27,6 @@ parallelism inventory) and its jaxopt BA materializes dense Jacobians
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
