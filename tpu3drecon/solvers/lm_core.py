@@ -47,6 +47,40 @@ class LMConfig(NamedTuple):
     diag_damping: bool = True  # lambda * diag(JtJ) (Marquardt) vs lambda * I
 
 
+class DynamicLMParams(NamedTuple):
+    """LMConfig fields that are pure runtime scalars inside the compiled
+    program; passed as jnp operands so one executable serves every
+    hyperparameter setting (same design as solvers.bundle_adjust's
+    DynamicBAParams)."""
+
+    maxiter: jax.Array
+    gtol: jax.Array
+    ftol: jax.Array
+    xtol: jax.Array
+    init_lambda: jax.Array
+
+
+_LM_DYN_SENTINEL = dict(
+    maxiter=-1, gtol=-1.0, ftol=-1.0, xtol=-1.0, init_lambda=-1.0
+)
+
+
+def split_dynamic_lm_config(config: "LMConfig"):
+    """(static_key, dynamic_operands) for LMConfig."""
+    dyn = DynamicLMParams(
+        maxiter=jnp.asarray(config.maxiter, jnp.int32),
+        gtol=jnp.asarray(float(config.gtol)),
+        ftol=jnp.asarray(float(config.ftol)),
+        xtol=jnp.asarray(float(config.xtol)),
+        init_lambda=jnp.asarray(float(config.init_lambda)),
+    )
+    return config._replace(**_LM_DYN_SENTINEL), dyn
+
+
+def merge_dynamic_lm_config(static: "LMConfig", dyn: DynamicLMParams) -> "LMConfig":
+    return static._replace(**dyn._asdict())
+
+
 class LMState(NamedTuple):
     params: jax.Array
     residual: jax.Array  # cached residual at params
@@ -168,11 +202,13 @@ def _lm_solve_impl(residual_fn, params0, args, config, retract):
             accept, accepted_lin, rejected_lin, None
         )
 
-        step_small = (
+        # xtol may be a traced operand (see DynamicLMParams), so the
+        # "disabled when 0" semantics are expressed in-graph.
+        xtol = jnp.asarray(config.xtol, dtype)
+        step_small = jnp.logical_and(
+            xtol > 0,
             jnp.linalg.norm(step)
-            < config.xtol * (jnp.linalg.norm(state.params) + config.xtol)
-            if config.xtol > 0
-            else jnp.zeros((), bool)
+            < xtol * (jnp.linalg.norm(state.params) + xtol),
         )
         rel_decrease = (state.loss - loss_cand) <= config.ftol * jnp.maximum(
             state.loss, jnp.asarray(1e-32, dtype)

@@ -123,7 +123,18 @@ class PoseRefiner:
         self.config = config
         self.solver = self._build_solver()
 
+    _JIT_CACHE: dict = {}
+
     def _build_solver(self):
+        """Batched jitted solver, cached at class level by the STATIC part
+        of the configuration: the camera-width norm, loop bounds, and
+        tolerances ride in as operands, so refiners that differ only in
+        those (or in avg_cam_width) share one compiled executable."""
+        from tpu3drecon.solvers.lm_core import (
+            merge_dynamic_lm_config,
+            split_dynamic_lm_config,
+        )
+
         if self.residual_form == "per_axis":
             norm = jnp.asarray(self.avg_cam_width)
             res_fn = functools.partial(
@@ -135,20 +146,29 @@ class PoseRefiner:
         else:
             raise ValueError(f"unknown residual_form {self.residual_form!r}")
 
-        def solve_one(params0, points3d, points2d, cx_cy_skew, dist, mask):
-            return lm_solve(
-                res_fn,
-                params0,
-                points3d,
-                points2d,
-                cx_cy_skew,
-                dist,
-                mask,
-                norm.astype(params0.dtype),
-                config=self.config,
-            )
+        static, dyn = split_dynamic_lm_config(self.config)
+        key = (self.loss, self.residual_form, static)
+        jfn = PoseRefiner._JIT_CACHE.get(key)
+        if jfn is None:
+            def solve_one(params0, points3d, points2d, cx_cy_skew, dist, mask,
+                          norm_in, d):
+                return lm_solve(
+                    res_fn,
+                    params0,
+                    points3d,
+                    points2d,
+                    cx_cy_skew,
+                    dist,
+                    mask,
+                    norm_in.astype(params0.dtype),
+                    config=merge_dynamic_lm_config(static, d),
+                )
 
-        return jax.jit(jax.vmap(solve_one))
+            jfn = jax.jit(
+                jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+            )
+            PoseRefiner._JIT_CACHE[key] = jfn
+        return lambda *a, _j=jfn, _n=norm, _d=dyn: _j(*a, _n, _d)
 
     def optimize(
         self, params0, points3d, points2d, cx_cy_skew, mask, dist=None
