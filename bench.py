@@ -27,12 +27,13 @@ from __future__ import annotations
 import json
 
 
-# Measured 2026-08-16 on this container's host CPU (single jax CPU device,
-# all cores): 30 LM iters of the identical solve (cg_maxiter=12), f32, after
-# warm-up, best of 2.  Host CPU wall time varies 8-12s with shared-host
-# conditions; the FASTEST observed run is recorded (conservative: it
-# understates the TPU speedup).  Reproduce with: python bench.py --cpu
-CPU_BASELINE_S = 8.078
+# Measured 2026-08-17 on this container's host CPU (single jax CPU device,
+# all cores): 30 LM iters of the identical solve, f32, after warm-up.  Host
+# CPU wall time varies with shared-host conditions (8-12 s when loaded;
+# 6.14/6.19 s on two idle-host runs); the FASTEST observed run is recorded
+# (conservative: it understates the TPU speedup).  Round-1 pin was 8.078 s
+# under load.  Reproduce with: python bench.py --cpu
+CPU_BASELINE_S = 6.1356
 
 
 def _tpu_alive(timeout_s: float = 900.0) -> bool:
