@@ -25,6 +25,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import sys
 
 
 # Measured 2026-08-17 on this container's host CPU (single jax CPU device,
@@ -88,10 +89,15 @@ def main(force_cpu: bool = False) -> None:
         BENCH_CONFIG,
         build_grid_problem,
         build_problem,
-        timed_solve,
+        timed_solve_stats,
     )
     from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
 
+    # TPU reps are cheap (~0.16 s each); CPU ones cost ~6 s — 5 vs 2 reps
+    # keeps the TPU median meaningful against its ±10% session drift without
+    # making the CPU baseline run interminable.
+    reps = 2 if force_cpu else 5
+    fallback_reason = None
     engine = "tt"
     if force_cpu:
         engine = "flat"  # device engines target TPU; CPU baseline = flat XLA
@@ -105,10 +111,16 @@ def main(force_cpu: bool = False) -> None:
 
             problem = commit(tt_from_flat(flat_host))
             solver = make_tt_ba_solver(BENCH_CONFIG)
-            compile_s, run_s, (cams, pts, state) = timed_solve(
-                solver, problem, repeats=2
+            compile_s, times, (cams, pts, state) = timed_solve_stats(
+                solver, problem, repeats=reps
             )
         except Exception:
+            import traceback
+
+            print("bench: tt engine failed, falling back to pallas:",
+                  file=sys.stderr)
+            traceback.print_exc()
+            fallback_reason = traceback.format_exc().strip().splitlines()[-1]
             engine = "pallas"
     if engine == "pallas":
         try:
@@ -116,15 +128,27 @@ def main(force_cpu: bool = False) -> None:
 
             problem = build_grid_problem()
             solver = make_pallas_ba_solver(BENCH_CONFIG)
-            compile_s, run_s, (cams, pts, state) = timed_solve(
-                solver, problem, repeats=2
+            compile_s, times, (cams, pts, state) = timed_solve_stats(
+                solver, problem, repeats=reps
             )
         except Exception:
+            import traceback
+
+            print("bench: pallas engine failed, falling back to flat:",
+                  file=sys.stderr)
+            traceback.print_exc()
+            fallback_reason = traceback.format_exc().strip().splitlines()[-1]
             engine = "flat"
     if engine == "flat":
         problem = build_problem()
         solver = make_ba_solver(BENCH_CONFIG)
-        compile_s, run_s, (cams, pts, state) = timed_solve(solver, problem, repeats=2)
+        compile_s, times, (cams, pts, state) = timed_solve_stats(
+            solver, problem, repeats=reps
+        )
+    times = sorted(times)
+    run_s = times[len(times) // 2] if len(times) % 2 else 0.5 * (
+        times[len(times) // 2 - 1] + times[len(times) // 2]
+    )
 
     eval_problem = (
         build_problem(on_host=not force_cpu) if engine in ("tt", "pallas") else problem
@@ -153,6 +177,10 @@ def main(force_cpu: bool = False) -> None:
         "unit": "s",
         "vs_baseline": round(CPU_BASELINE_S / run_s, 2),
         "extra": {
+            "median_s": round(run_s, 4),
+            "min_s": round(times[0], 4),
+            "max_s": round(times[-1], 4),
+            "reps": len(times),
             "compile_s": round(compile_s, 2),
             "reproj_rmse_px": float(f"{rmse:.3e}"),
             "accepted_steps": int(jax.device_get(state.accepted)),
@@ -168,6 +196,8 @@ def main(force_cpu: bool = False) -> None:
     }
     if cpu_baseline_drift is not None:
         result["extra"]["cpu_baseline_drift_warning"] = cpu_baseline_drift
+    if fallback_reason is not None:
+        result["extra"]["engine_fallback_reason"] = fallback_reason
     print(json.dumps(result))
 
 

@@ -79,8 +79,12 @@ def build_grid_problem(dtype=None):
     return jax.device_put(grid)
 
 
-def timed_solve(solver, problem, repeats: int = 1):
-    """Compile (warm-up) then time; returns (compile_s, best_run_s, result).
+def timed_solve_stats(solver, problem, repeats: int = 1):
+    """Compile (warm-up) then time; returns (compile_s, run_times, result).
+
+    ``run_times`` is the full per-repetition list so callers can report a
+    median and spread — TPU session throughput drifts ~±10% (RESULTS.md), so
+    a single draw carries no error bar.
 
     The compile/run split follows the reference's measurement protocol
     (benchmark_pose_optimization.py:165-182, benchmark_bundle_adjustment.py:
@@ -98,10 +102,16 @@ def timed_solve(solver, problem, repeats: int = 1):
     sync(out)
     compile_s = time.perf_counter() - t0
 
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = solver(problem)
         sync(out)
-        best = min(best, time.perf_counter() - t0)
-    return compile_s, best, out
+        times.append(time.perf_counter() - t0)
+    return compile_s, times, out
+
+
+def timed_solve(solver, problem, repeats: int = 1):
+    """(compile_s, best_run_s, result) — see timed_solve_stats."""
+    compile_s, times, out = timed_solve_stats(solver, problem, repeats)
+    return compile_s, min(times), out

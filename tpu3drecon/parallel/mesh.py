@@ -34,6 +34,20 @@ def make_mesh(
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def mesh_key(mesh: Mesh) -> tuple:
+    """Hashable identity of a mesh by its CONTENT (device ids, axis layout).
+
+    Solver caches must not key on ``id(mesh)``: a garbage-collected Mesh's
+    address can be reused by a new Mesh, which would return a jitted solver
+    closed over the dead mesh's device layout (ADVICE.md round 2).
+    """
+    return (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.devices.shape,
+        mesh.axis_names,
+    )
+
+
 def obs_sharding(mesh: Mesh, axis_name: str = OBS_AXIS) -> NamedSharding:
     """Sharding for flat observation arrays: leading axis split over mesh."""
     return NamedSharding(mesh, P(axis_name))

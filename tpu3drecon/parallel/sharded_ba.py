@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu3drecon.parallel.mesh import OBS_AXIS, make_mesh, shard_ba_problem
+from tpu3drecon.parallel.mesh import OBS_AXIS, make_mesh, mesh_key, shard_ba_problem
 from tpu3drecon.problems.packing import BAProblem, CameraParams
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, ba_solve
 
@@ -62,7 +62,7 @@ def make_sharded_ba_solver(
     )
 
     static, dyn = split_dynamic_config(config)
-    key = (id(mesh), static, axis_name)
+    key = (mesh_key(mesh), static, axis_name)
     jfn = _SHARDED_BA_CACHE.get(key)
     if jfn is None:
         def local(problem, d):

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tpu3drecon.parallel.mesh import mesh_key
 from tpu3drecon.problems.grid import BAGridBucketedProblem, TrackBucket, unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.solvers.ba_grid import grid_blocks
@@ -198,7 +199,7 @@ def make_sharded_grid_solver(
     )
 
     static, dyn = split_dynamic_config(config)
-    key = (id(mesh), static, axis_name, kernels)
+    key = (mesh_key(mesh), static, axis_name, kernels)
     if key in _SHARDED_GRID_CACHE:
         jfn = _SHARDED_GRID_CACHE[key]
         return lambda placed, _j=jfn, _d=dyn: _j(placed, _d)

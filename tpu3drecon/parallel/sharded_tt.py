@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tpu3drecon.parallel.mesh import mesh_key
 from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.problems.tt import BATTProblem, TTBucket
@@ -148,7 +149,7 @@ def make_sharded_tt_solver(
     )
 
     static, dyn = split_dynamic_config(config)
-    key = (id(mesh), static, axis_name, n_buckets)
+    key = (mesh_key(mesh), static, axis_name, n_buckets)
     if key in _SHARDED_TT_CACHE:
         jfn = _SHARDED_TT_CACHE[key]
         return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tpu3drecon.parallel.mesh import mesh_key
 from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.problems.wtt import BAWTTProblem, WTTBucket
@@ -155,7 +156,7 @@ def make_sharded_wtt_solver(
     )
 
     static, dyn = split_dynamic_config(config)
-    key = (id(mesh), static, axis_name, windows, c_pad)
+    key = (mesh_key(mesh), static, axis_name, windows, c_pad)
     if key in _SHARDED_WTT_CACHE:
         jfn = _SHARDED_WTT_CACHE[key]
         return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)

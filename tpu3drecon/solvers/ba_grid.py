@@ -30,6 +30,7 @@ from tpu3drecon.ops.jacobians import apply_se3_retraction
 from tpu3drecon.problems.grid import BAGridProblem
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.pcg import pcg
 from tpu3drecon.solvers.schur import inv3x3
 
 
@@ -247,37 +248,12 @@ def schur_pcg(
     nb: GridNormal, b_cam: jax.Array, problem: BAGridProblem,
     maxiter: int, rtol: float,
 ):
-    dtype = b_cam.dtype
-
-    def dot(a, b):
-        return jnp.sum(a * b)
-
-    x0 = jnp.zeros_like(b_cam)
-    z0 = precond_apply(nb, b_cam)
-    rz0 = dot(b_cam, z0)
-    b_norm2 = jnp.maximum(dot(b_cam, b_cam), jnp.asarray(1e-32, dtype))
-    tol2 = jnp.asarray(rtol, dtype) ** 2 * b_norm2
-
-    def cond(state):
-        _, r, _, _, _, k = state
-        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
-
-    def body(state):
-        x, r, z, p, rz, k = state
-        sp = schur_matvec(nb, p, problem)
-        psp = dot(p, sp)
-        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
-        x = x + alpha * p
-        r = r - alpha * sp
-        z = precond_apply(nb, r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
-        return (x, r, z, z + beta * p, rz_new, k + 1)
-
-    x, r, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (x0, b_cam, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    out = pcg(
+        lambda p: schur_matvec(nb, p, problem),
+        lambda r: precond_apply(nb, r),
+        b_cam, maxiter, rtol,
     )
-    return x, iters
+    return out.x, out.iters
 
 
 def ba_solve_grid(
@@ -415,16 +391,19 @@ _GRID_JIT_CACHE: dict = {}
 def make_grid_ba_solver(config: BAConfig = BAConfig()):
     if config not in _GRID_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
+            dynamic_operands,
             merge_dynamic_config,
-            split_dynamic_config,
+            static_config,
         )
 
-        static, dyn = split_dynamic_config(config)
+        static = static_config(config)
         jfn = _GRID_JIT_CACHE.get(static)
         if jfn is None:
             jfn = jax.jit(
                 lambda p, d, s=static: ba_solve_grid(p, merge_dynamic_config(s, d))
             )
             _GRID_JIT_CACHE[static] = jfn
-        _GRID_SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
+        _GRID_SOLVER_CACHE[config] = lambda p, _j=jfn, _c=config: _j(
+            p, dynamic_operands(_c)
+        )
     return _GRID_SOLVER_CACHE[config]

@@ -37,6 +37,7 @@ from tpu3drecon.problems.grid import (
 )
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.pcg import cho_block_precond, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
 _POINT_BLOCK = 512
@@ -228,39 +229,12 @@ def _schur_matvec(nb, x, problem, packed: bool = True):
 
 
 def _pcg(nb, b, problem, maxiter, rtol, packed: bool = True):
-    dtype = b.dtype
-
-    def dot(a, b_):
-        return jnp.sum(a * b_)
-
-    def precond(r):
-        return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
-            nb.u_chol, r
-        )
-
-    z0 = precond(b)
-    rz0 = dot(b, z0)
-    tol2 = jnp.asarray(rtol, dtype) ** 2 * jnp.maximum(dot(b, b), 1e-32)
-
-    def cond(st):
-        _, r, _, _, _, i = st
-        return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
-
-    def body(st):
-        x, r, z, p, rz, i = st
-        sp = _schur_matvec(nb, p, problem, packed)
-        alpha = rz / jnp.where(jnp.abs(dot(p, sp)) < 1e-32, 1.0, dot(p, sp))
-        x = x + alpha * p
-        r = r - alpha * sp
-        z = precond(r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
-        return (x, r, z, z + beta * p, rz_new, i + 1)
-
-    x, _, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    out = pcg(
+        lambda p: _schur_matvec(nb, p, problem, packed),
+        cho_block_precond(nb.u_chol),
+        b, maxiter, rtol,
     )
-    return x, iters
+    return out.x, out.iters
 
 
 def _cost(params, problem, config: BAConfig) -> jax.Array:
@@ -377,11 +351,12 @@ def make_pallas_ba_solver(config: BAConfig = BAConfig(), interpret: bool = False
     key = (config, interpret)
     if key not in _PALLAS_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
+            dynamic_operands,
             merge_dynamic_config,
-            split_dynamic_config,
+            static_config,
         )
 
-        static, dyn = split_dynamic_config(config)
+        static = static_config(config)
         jkey = (static, interpret)
         jfn = _PALLAS_JIT_CACHE.get(jkey)
         if jfn is None:
@@ -391,5 +366,7 @@ def make_pallas_ba_solver(config: BAConfig = BAConfig(), interpret: bool = False
                 )
             )
             _PALLAS_JIT_CACHE[jkey] = jfn
-        _PALLAS_SOLVER_CACHE[key] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
+        _PALLAS_SOLVER_CACHE[key] = lambda p, _j=jfn, _c=config: _j(
+            p, dynamic_operands(_c)
+        )
     return _PALLAS_SOLVER_CACHE[key]

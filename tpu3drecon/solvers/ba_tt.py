@@ -39,6 +39,7 @@ from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.problems.tt import BATTProblem, TTBucket
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.pcg import cho_block_precond, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
 # Column layout of the packed per-camera parameter table fed through the
@@ -395,46 +396,18 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None) -> TTNorm
 
 
 def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
-    """PCG on the reduced camera system.
+    """PCG on the reduced camera system (shared core: solvers/pcg.py).
 
     Under sharding the CG state (x, r, z, p) is replicated — only the
     coupling inside ``_schur_matvec`` touches the sharded slot axis, and its
     single psum re-replicates the matvec; all dots are therefore local.
     """
-    dtype = b.dtype
-
-    def dot(a, b_):
-        return jnp.sum(a * b_)
-
-    def precond(r):
-        return jax.vmap(lambda ch, rr: jax.scipy.linalg.cho_solve((ch, True), rr))(
-            nb.u_chol, r
-        )
-
-    z0 = precond(b)
-    rz0 = dot(b, z0)
-    tol2 = jnp.asarray(rtol, dtype) ** 2 * jnp.maximum(dot(b, b), 1e-32)
-
-    def cond(st):
-        _, r, _, _, _, i = st
-        return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
-
-    def body(st):
-        x, r, z, p, rz, i = st
-        sp = _schur_matvec(nb, p, problem, axis_name)
-        psp = dot(p, sp)
-        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
-        x = x + alpha * p
-        r = r - alpha * sp
-        z = precond(r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
-        return (x, r, z, z + beta * p, rz_new, i + 1)
-
-    x, _, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    out = pcg(
+        lambda p: _schur_matvec(nb, p, problem, axis_name),
+        cho_block_precond(nb.u_chol),
+        b, maxiter, rtol,
     )
-    return x, iters
+    return out.x, out.iters
 
 
 def _cost(params, problem, config: BAConfig, axis_name=None) -> jax.Array:
@@ -571,16 +544,19 @@ _TT_JIT_CACHE: dict = {}
 def make_tt_ba_solver(config: BAConfig = BAConfig()):
     if config not in _TT_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
+            dynamic_operands,
             merge_dynamic_config,
-            split_dynamic_config,
+            static_config,
         )
 
-        static, dyn = split_dynamic_config(config)
+        static = static_config(config)
         jfn = _TT_JIT_CACHE.get(static)
         if jfn is None:
             jfn = jax.jit(
                 lambda p, d, s=static: ba_solve_tt(p, merge_dynamic_config(s, d))
             )
             _TT_JIT_CACHE[static] = jfn
-        _TT_SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
+        _TT_SOLVER_CACHE[config] = lambda p, _j=jfn, _c=config: _j(
+            p, dynamic_operands(_c)
+        )
     return _TT_SOLVER_CACHE[config]

@@ -85,22 +85,48 @@ _DYN_SENTINEL = dict(
 )
 
 
-def split_dynamic_config(config: "BAConfig"):
-    """(static_key, dynamic_operands): the static part keys the jit cache;
-    the dynamic part rides in as arrays (see DynamicBAParams)."""
+def static_config(config: "BAConfig") -> "BAConfig":
+    """The jit-cache key: config with dynamic fields replaced by sentinels.
+    Pure Python — safe to call before the jax backend is pinned."""
+    return config._replace(**_DYN_SENTINEL)
+
+
+_DYN_OPERAND_CACHE: dict = {}
+
+
+def dynamic_operands(config: "BAConfig") -> "DynamicBAParams":
+    """Concrete operand arrays for the dynamic fields (memoized per config).
+
+    NOTE: creating these arrays initializes the jax backend, which pins the
+    platform (CLAUDE.md trap) — the make_*_solver factories therefore call
+    this at solver CALL time, not construction time, so a caller can still
+    switch to CPU after building a solver.
+    """
     import jax.numpy as jnp
 
-    # Float tolerances keep the default float width (f64 under x64, f32
-    # otherwise) so the dynamic path rounds identically to baked constants.
-    dyn = DynamicBAParams(
-        maxiter=jnp.asarray(config.maxiter, jnp.int32),
-        gtol=jnp.asarray(float(config.gtol)),
-        ftol=jnp.asarray(float(config.ftol)),
-        init_lambda=jnp.asarray(float(config.init_lambda)),
-        cg_maxiter=jnp.asarray(config.cg_maxiter, jnp.int32),
-        cg_rtol=jnp.asarray(float(config.cg_rtol)),
-    )
-    return config._replace(**_DYN_SENTINEL), dyn
+    dyn = _DYN_OPERAND_CACHE.get(config)
+    if dyn is None:
+        # Float tolerances keep the default float width (f64 under x64, f32
+        # otherwise) so the dynamic path rounds identically to baked constants.
+        dyn = DynamicBAParams(
+            maxiter=jnp.asarray(config.maxiter, jnp.int32),
+            gtol=jnp.asarray(float(config.gtol)),
+            ftol=jnp.asarray(float(config.ftol)),
+            init_lambda=jnp.asarray(float(config.init_lambda)),
+            cg_maxiter=jnp.asarray(config.cg_maxiter, jnp.int32),
+            cg_rtol=jnp.asarray(float(config.cg_rtol)),
+        )
+        _DYN_OPERAND_CACHE[config] = dyn
+    return dyn
+
+
+def split_dynamic_config(config: "BAConfig"):
+    """(static_key, dynamic_operands): the static part keys the jit cache;
+    the dynamic part rides in as arrays (see DynamicBAParams).  Creates
+    concrete arrays NOW — use static_config + dynamic_operands separately to
+    defer backend initialization (the sharded factories call this form: a
+    mesh already implies initialized devices)."""
+    return static_config(config), dynamic_operands(config)
 
 
 def merge_dynamic_config(static: "BAConfig", dyn: DynamicBAParams) -> "BAConfig":
@@ -340,14 +366,16 @@ def make_ba_solver(config: BAConfig = BAConfig()):
     Loop bounds/tolerances ride in as dynamic operands, so configs that
     differ only in those share one compiled executable."""
     if config not in _SOLVER_CACHE:
-        static, dyn = split_dynamic_config(config)
+        static = static_config(config)
         jfn = _JIT_CACHE.get(static)
         if jfn is None:
             jfn = jax.jit(
                 lambda p, d, s=static: ba_solve(p, merge_dynamic_config(s, d))
             )
             _JIT_CACHE[static] = jfn
-        _SOLVER_CACHE[config] = lambda p, _j=jfn, _d=dyn: _j(p, _d)
+        _SOLVER_CACHE[config] = lambda p, _j=jfn, _c=config: _j(
+            p, dynamic_operands(_c)
+        )
     return _SOLVER_CACHE[config]
 
 

@@ -65,16 +65,34 @@ _LM_DYN_SENTINEL = dict(
 )
 
 
+def static_lm_config(config: "LMConfig") -> "LMConfig":
+    """Jit-cache key (pure Python, no backend initialization)."""
+    return config._replace(**_LM_DYN_SENTINEL)
+
+
+_LM_DYN_OPERAND_CACHE: dict = {}
+
+
+def dynamic_lm_operands(config: "LMConfig") -> "DynamicLMParams":
+    """Concrete operand arrays (memoized); initializes the jax backend, so
+    factories defer this to solver CALL time (platform-pinning trap)."""
+    dyn = _LM_DYN_OPERAND_CACHE.get(config)
+    if dyn is None:
+        dyn = DynamicLMParams(
+            maxiter=jnp.asarray(config.maxiter, jnp.int32),
+            gtol=jnp.asarray(float(config.gtol)),
+            ftol=jnp.asarray(float(config.ftol)),
+            xtol=jnp.asarray(float(config.xtol)),
+            init_lambda=jnp.asarray(float(config.init_lambda)),
+        )
+        _LM_DYN_OPERAND_CACHE[config] = dyn
+    return dyn
+
+
 def split_dynamic_lm_config(config: "LMConfig"):
-    """(static_key, dynamic_operands) for LMConfig."""
-    dyn = DynamicLMParams(
-        maxiter=jnp.asarray(config.maxiter, jnp.int32),
-        gtol=jnp.asarray(float(config.gtol)),
-        ftol=jnp.asarray(float(config.ftol)),
-        xtol=jnp.asarray(float(config.xtol)),
-        init_lambda=jnp.asarray(float(config.init_lambda)),
-    )
-    return config._replace(**_LM_DYN_SENTINEL), dyn
+    """(static_key, dynamic_operands) for LMConfig — creates arrays NOW; use
+    static_lm_config + dynamic_lm_operands to defer backend init."""
+    return static_lm_config(config), dynamic_lm_operands(config)
 
 
 def merge_dynamic_lm_config(static: "LMConfig", dyn: DynamicLMParams) -> "LMConfig":

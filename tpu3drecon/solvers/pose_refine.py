@@ -131,22 +131,25 @@ class PoseRefiner:
         tolerances ride in as operands, so refiners that differ only in
         those (or in avg_cam_width) share one compiled executable."""
         from tpu3drecon.solvers.lm_core import (
+            dynamic_lm_operands,
             merge_dynamic_lm_config,
-            split_dynamic_lm_config,
+            static_lm_config,
         )
 
+        # norm stays a Python float here; converted at call time so building
+        # a refiner does not initialize the jax backend (platform pinning).
         if self.residual_form == "per_axis":
-            norm = jnp.asarray(self.avg_cam_width)
+            norm = float(self.avg_cam_width)
             res_fn = functools.partial(
                 pose_residuals_per_axis, loss=self.loss
             )
         elif self.residual_form == "scalar":
-            norm = jnp.asarray(self.avg_cam_width**2)
+            norm = float(self.avg_cam_width**2)
             res_fn = functools.partial(pose_residuals_scalar, loss=self.loss)
         else:
             raise ValueError(f"unknown residual_form {self.residual_form!r}")
 
-        static, dyn = split_dynamic_lm_config(self.config)
+        static = static_lm_config(self.config)
         key = (self.loss, self.residual_form, static)
         jfn = PoseRefiner._JIT_CACHE.get(key)
         if jfn is None:
@@ -168,7 +171,16 @@ class PoseRefiner:
                 jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, 0, None, None))
             )
             PoseRefiner._JIT_CACHE[key] = jfn
-        return lambda *a, _j=jfn, _n=norm, _d=dyn: _j(*a, _n, _d)
+
+        box = []  # operand arrays, created on first call (not construction)
+
+        def solve(*a, _j=jfn, _n=norm, _c=self.config):
+            if not box:
+                box.append((jnp.asarray(_n), dynamic_lm_operands(_c)))
+            n_arr, d = box[0]
+            return _j(*a, n_arr, d)
+
+        return solve
 
     def optimize(
         self, params0, points3d, points2d, cx_cy_skew, mask, dist=None

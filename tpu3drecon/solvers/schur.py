@@ -206,41 +206,18 @@ def schur_pcg(
 ) -> PCGResult:
     """Preconditioned CG on the reduced camera system S x = b.
 
-    Entirely lax-level, so the whole LM outer loop stays one XLA executable.
+    Entirely lax-level, so the whole LM outer loop stays one XLA executable
+    (shared core: solvers/pcg.py).
     """
-    dtype = b_cam.dtype
+    from tpu3drecon.solvers.pcg import pcg
 
-    def dot(a, b):
-        return jnp.sum(a * b)
-
-    x0 = jnp.zeros_like(b_cam)
-    r0 = b_cam  # since x0 = 0
-    z0 = precond_apply(nb, r0)
-    p0 = z0
-    rz0 = dot(r0, z0)
-    b_norm2 = jnp.maximum(dot(b_cam, b_cam), jnp.asarray(1e-32, dtype))
-    tol2 = jnp.asarray(rtol, dtype) ** 2 * b_norm2
-
-    def cond(state):
-        _, r, _, _, _, k = state
-        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
-
-    def body(state):
-        x, r, z, p, rz, k = state
-        sp = schur_matvec(nb, p, cam_idx, pt_idx, axis_name)
-        psp = dot(p, sp)
-        alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
-        x = x + alpha * p
-        r = r - alpha * sp
-        z = precond_apply(nb, r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
-
-    x, r, _, _, _, iters = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, jnp.zeros((), jnp.int32)))
-    rel = jnp.sqrt(dot(r, r) / b_norm2)
-    return PCGResult(x=x, iters=iters, rel_residual=rel)
+    out = pcg(
+        lambda p: schur_matvec(nb, p, cam_idx, pt_idx, axis_name),
+        lambda r: precond_apply(nb, r),
+        b_cam, maxiter, rtol,
+    )
+    rel = jnp.sqrt(jnp.sum(out.r * out.r) / out.b_norm2)
+    return PCGResult(x=out.x, iters=out.iters, rel_residual=rel)
 
 
 def back_substitute_points(
