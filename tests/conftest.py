@@ -29,6 +29,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy multi-device / scale / f64-equality tests "
+        "(excluded from the fast tier)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "fast: <5-minute tier covering every module's core invariants "
+        "(auto-applied to everything not marked slow; run with -m fast)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -181,12 +181,13 @@ class TestTTSolveModes:
             tt_problem.points3d[off : off + b.mask.shape[1]].T
             for b, off in zip(tt_problem.buckets, tt_problem.bucket_offsets)
         )
-        params = (cams.rmats, cams.tvecs, cams.fx_fy, dist0, pts_list)
+        ccs = cams.cx_cy_skew
+        params = (cams.rmats, cams.tvecs, cams.fx_fy, dist0, ccs, pts_list)
         nb = _linearize(params, jnp.asarray(0.0), tt_problem, config)
 
         def cost_of(fx_fy, dist):
             return _cost(
-                (cams.rmats, cams.tvecs, fx_fy, dist, pts_list),
+                (cams.rmats, cams.tvecs, fx_fy, dist, ccs, pts_list),
                 tt_problem, config,
             )
 
@@ -198,6 +199,70 @@ class TestTTSolveModes:
             np.array(nb.g_cam[:, 8:10]), np.array(g_d), rtol=1e-9, atol=1e-12
         )
 
+    def test_pp_gradient_matches_ad(self, tt_problem):
+        # Pin the analytic cx/cy Jacobian columns against jax.grad of the
+        # independent cost (optimize_pp adds the last 2 block columns).
+        from tpu3drecon.solvers.ba_tt import _cost, _linearize
+
+        config = BAConfig(loss=RobustLoss.TRIVIAL, optimize_pp=True)
+        cams = tt_problem.cameras
+        ccs0 = cams.cx_cy_skew + jnp.asarray([1.5, -2.0, 0.0])
+        pts_list = tuple(
+            tt_problem.points3d[off : off + b.mask.shape[1]].T
+            for b, off in zip(tt_problem.buckets, tt_problem.bucket_offsets)
+        )
+        params = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, ccs0, pts_list)
+        nb = _linearize(params, jnp.asarray(0.0), tt_problem, config)
+        assert nb.g_cam.shape[1] == 10  # 8 + pp
+
+        def cost_of(ccs):
+            return _cost(
+                (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, ccs, pts_list),
+                tt_problem, config,
+            )
+
+        g_c = jax.grad(cost_of)(ccs0)
+        np.testing.assert_allclose(
+            np.array(nb.g_cam[:, 8:10]), np.array(g_c[:, :2]),
+            rtol=1e-9, atol=1e-12,
+        )
+
+    def test_pp_recovers_gt(self):
+        # GT principal points are perturbed away in the initial cameras;
+        # optimize_pp must pull them back (cx/cy are frozen in the
+        # reference: src/reconstruction/bundle_adjustment/utils.py:47-57).
+        import dataclasses
+
+        scene = make_scene(n_cameras=10, n_points=600, seed=17)
+        flat, _ = scene_to_ba_problem(scene, observed=scene, dtype=jnp.float64)
+        rng = np.random.default_rng(23)
+        delta = np.zeros((10, 3))
+        delta[:, :2] = rng.normal(scale=3.0, size=(10, 2))  # pixels
+        gt_ccs = np.array(flat.cameras.cx_cy_skew)
+        cams0 = dataclasses.replace(
+            flat.cameras,
+            cx_cy_skew=jnp.asarray(gt_ccs + delta),
+        )
+        flat0 = dataclasses.replace(flat, cameras=cams0)
+        tt = tt_from_flat(flat0, point_block=64)
+        config = BAConfig(
+            maxiter=30, cg_maxiter=40, cg_rtol=1e-10, optimize_pp=True
+        )
+        cams, pts, state = ba_solve_tt(tt, config)
+        rmse = float(reprojection_rmse(flat, cams, pts))
+        assert rmse < 1e-7
+        # pp itself is gauge-coupled with rotation at this scale; assert it
+        # moved toward GT rather than exact recovery.
+        err0 = np.abs(delta[:, :2]).mean()
+        err1 = np.abs(np.array(cams.cx_cy_skew)[:, :2] - gt_ccs[:, :2]).mean()
+        assert err1 < 0.2 * err0
+
+    def test_pp_rejected_by_other_engines(self, flat_problem):
+        from tpu3drecon.solvers.bundle_adjust import ba_solve
+
+        with pytest.raises(ValueError, match="optimize_pp"):
+            ba_solve(flat_problem, BAConfig(optimize_pp=True))
+
     def test_jit_solver_cache(self, tt_problem):
         from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
 
@@ -207,3 +272,30 @@ class TestTTSolveModes:
         assert s1 is s2
         cams, pts, state = s1(tt_problem)
         assert bool(jnp.isfinite(state.loss))
+
+    @pytest.mark.parametrize(
+        "extra", [dict(), dict(optimize_dist=True, optimize_pp=True)],
+        ids=["base", "dist+pp"],
+    )
+    def test_fused_kernels_match_xla(self, tt_problem, extra):
+        # The Pallas fused linearization (ops/pallas/tt_linearize.py) must
+        # reproduce the XLA path's trust-region trajectory (interpret mode
+        # emulates the kernels on CPU at f64).
+        config = BAConfig(
+            maxiter=4, gtol=0.0, ftol=0.0, cg_maxiter=20, cg_rtol=1e-10,
+            **extra,
+        )
+        cams_x, pts_x, st_x = ba_solve_tt(tt_problem, config)
+        cams_k, pts_k, st_k = ba_solve_tt(
+            tt_problem, config, kernels=True, interpret=True
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-9, atol=1e-24
+        )
+        np.testing.assert_allclose(
+            np.array(pts_k), np.array(pts_x), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.array(cams_k.tvecs), np.array(cams_x.tvecs), atol=1e-10
+        )

@@ -195,6 +195,21 @@ class TestWTTSolve:
         )
         np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
 
+    def test_joint_pp_matches_tt(self, seq_problem, wtt_problem):
+        config = BAConfig(
+            maxiter=4, gtol=0.0, ftol=0.0, cg_maxiter=20, cg_rtol=1e-10,
+            optimize_pp=True,
+        )
+        tt = tt_from_flat(seq_problem, point_block=64)
+        cams_t, pts_t, st_t = ba_solve_tt(tt, config)
+        cams_w, pts_w, st_w = ba_solve_wtt(wtt_problem, config)
+        assert int(st_w.accepted) == int(st_t.accepted)
+        np.testing.assert_allclose(
+            np.array(cams_w.cx_cy_skew), np.array(cams_t.cx_cy_skew),
+            rtol=0, atol=1e-8,
+        )
+        np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
+
     def test_dislocal_data_still_correct(self):
         # All-see-all synthetic data has no camera locality: the window
         # degenerates toward c_pad and the engine must still be exact.

@@ -1,0 +1,284 @@
+"""Pallas kernels: fused track-table linearization.
+
+The XLA tt linearization (solvers/ba_tt._linearize) round-trips ~120-165
+scalar contribution planes through HBM per bucket: _tt_blocks writes
+jc/jp/r (28 planes), the U/g/coupling products write another ~120, and the
+one-hot reduce reads them all back.  At bench scale that transient traffic
+is ~2 of the 5.3 ms/LM-iter (CLAUDE.md round-3 leads).  These kernels fuse
+production and contraction:
+
+  kernel A (``tt_cam_normal_fused``) — per (point-chunk, track-row) grid
+  step: one MXU dot builds the per-slot camera planes from the parameter
+  table and the one-hot TILE (never materializing the (19, slots) planes),
+  the _tt_blocks formulas run in registers, the U-triangle + gradient
+  products contract against the same one-hot tile on the MXU, and the
+  point-side V/g accumulate over track rows.  Only jc/jp (needed later by
+  the CG matvecs) and the tiny (cols, C) / (9, Pb) accumulators leave VMEM.
+
+  kernel B (``tt_coupling_fused``) — second pass once v_inv is known
+  (it needs the complete V): re-reads jc/jp, forms W v_inv W^T in
+  registers, contracts against the one-hot.  Same structure as the grid
+  engine's ops/pallas/coupling.py (which cut the precond build 8.6 ->
+  0.6 ms in round 2).
+
+The slot formulas and contribution lists are IMPORTED from solvers/ba_tt
+(_tt_blocks, _u_g_contribs, _coupling_contribs) — one source of truth, so
+the fused path is step-equivalent by construction (tests/test_ba_tt.py
+asserts it numerically anyway).
+
+No reference counterpart: the reference's BA materializes dense Jacobians
+(src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Lane-block width: contraction depth of the in-kernel MXU dots.  Pb is a
+# multiple of the packer's point_block (default 512), so 512 always divides.
+_NB = 512
+
+
+def _cam_kernel(
+    table_ref,  # (C, 19) parameter table
+    onehot_ref,  # (C, NB) one-hot tile (bf16 or f32)
+    pts_ref,  # (3, NB)
+    uv_ref,  # (2, NB)
+    mask_ref,  # (1, NB)
+    invw_ref,  # (1, 1) SMEM
+    jc_ref,  # (2*np, NB) out
+    jp_ref,  # (6, NB) out
+    pt_acc_ref,  # (9, NB) out: v6 (6) + g_pt (3), accumulated over t
+    cam_acc_ref,  # (cols, C) out: U triu + g, accumulated over everything
+    *,
+    config,
+    np_cam: int,
+    triu,
+):
+    from tpu3drecon.solvers.ba_tt import _tt_blocks, _u_g_contribs
+
+    t = pl.program_id(1)
+    j = pl.program_id(0)
+    acc_t = table_ref.dtype  # f32 compiled; f64 under interpret-mode tests
+    oh = onehot_ref[:, :].astype(acc_t)  # (C, NB)
+
+    # Per-slot camera parameter planes: one MXU dot replaces the HBM-wide
+    # (19, slots) einsum of the XLA path.
+    cp = jax.lax.dot_general(
+        table_ref[:, :], oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t,
+    )  # (19, NB)
+
+    inv_w = invw_ref[0, 0]
+    blocks = _tt_blocks(
+        cp[:, None, :], pts_ref[:, :], uv_ref[:, :][:, None, :],
+        mask_ref[:, :], inv_w, config,
+    )
+    jc = blocks.jc[:, 0, :]  # (2*np, NB)
+    jp = blocks.jp[:, 0, :]
+    r = blocks.r[:, 0, :]
+    jc_ref[:, :] = jc
+    jp_ref[:, :] = jp
+
+    # Point-side partial sums (dense over the track axis = grid axis 1).
+    v6 = jnp.stack(
+        [
+            jp[i] * jp[jx] + jp[3 + i] * jp[3 + jx]
+            for (i, jx) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        ]
+    )
+    g_pt = jnp.stack([jp[i] * r[0] + jp[3 + i] * r[1] for i in range(3)])
+    pt_part = jnp.concatenate([v6, g_pt], axis=0)  # (9, NB)
+
+    @pl.when(t == 0)
+    def _():
+        pt_acc_ref[:, :] = pt_part
+
+    @pl.when(t != 0)
+    def _():
+        pt_acc_ref[:, :] = pt_acc_ref[:, :] + pt_part
+
+    # Camera-side contraction: (cols, NB) x (C, NB) -> (cols, C) on the MXU.
+    contribs = jnp.stack(_u_g_contribs(jc, r, np_cam, triu))
+    part = jax.lax.dot_general(
+        contribs, oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t,
+    )
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        cam_acc_ref[:, :] = part
+
+    @pl.when(jnp.logical_or(t != 0, j != 0))
+    def _():
+        cam_acc_ref[:, :] = cam_acc_ref[:, :] + part
+
+
+def _coupling_kernel(
+    onehot_ref,  # (C, NB)
+    jc_ref,  # (2*np, NB)
+    jp_ref,  # (6, NB)
+    vinv_ref,  # (6, NB) v_inv planes of the points in this chunk
+    coup_acc_ref,  # (n_triu, C) out
+    *,
+    np_cam: int,
+    triu,
+):
+    from tpu3drecon.solvers.ba_tt import _coupling_contribs
+
+    t = pl.program_id(1)
+    j = pl.program_id(0)
+    acc_t = jp_ref.dtype
+    oh = onehot_ref[:, :].astype(acc_t)
+    jc = jc_ref[:, :]
+    jp = jp_ref[:, :]
+    v = [vinv_ref[i, :] for i in range(6)]
+    vi = [[v[0], v[1], v[2]], [v[1], v[3], v[4]], [v[2], v[4], v[5]]]
+    contribs = jnp.stack(_coupling_contribs(jc, jp, vi, np_cam, triu))
+    part = jax.lax.dot_general(
+        contribs, oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t,
+    )
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        coup_acc_ref[:, :] = part
+
+    @pl.when(jnp.logical_or(t != 0, j != 0))
+    def _():
+        coup_acc_ref[:, :] = coup_acc_ref[:, :] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "np_cam", "tb", "pb", "interpret"),
+)
+def tt_cam_normal_fused(
+    table: jax.Array,  # (C, 19)
+    onehot: jax.Array,  # (C, Tb*Pb) — flat slot axis
+    pts: jax.Array,  # (3, Pb)
+    uv: jax.Array,  # (2, Tb, Pb)
+    mask: jax.Array,  # (Tb, Pb)
+    inv_w: jax.Array,  # ()
+    config,
+    np_cam: int,
+    tb: int,
+    pb: int,
+    interpret: bool = False,
+):
+    """Fused tt linearization, camera+point normal parts, one bucket.
+
+    Returns (jc (2np, Tb, Pb), jp (6, Tb, Pb), v6 (6, Pb), g_pt (3, Pb),
+    ug_cols (C, n_triu + np)).
+    """
+    from tpu3drecon.solvers.ba_tt import _triu_pairs
+
+    c = table.shape[0]
+    triu = tuple(_triu_pairs(np_cam))
+    n_triu = len(triu)
+    cols = n_triu + np_cam
+    nb = min(_NB, pb)
+    assert pb % nb == 0, (pb, nb)
+    jb = pb // nb
+    dtype = pts.dtype
+
+    kernel = functools.partial(
+        _cam_kernel, config=config, np_cam=np_cam, triu=triu
+    )
+    flat = lambda j, t: (0, t * jb + j)  # noqa: E731 — flat slot tile index
+    jc, jp, pt_acc, cam_acc = pl.pallas_call(
+        kernel,
+        grid=(jb, tb),
+        in_specs=[
+            pl.BlockSpec((c, 19), lambda j, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * np_cam, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols, c), lambda j, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * np_cam, tb * pb), dtype),
+            jax.ShapeDtypeStruct((6, tb * pb), dtype),
+            jax.ShapeDtypeStruct((9, pb), dtype),
+            jax.ShapeDtypeStruct((cols, c), dtype),
+        ],
+        interpret=interpret,
+    )(
+        table,
+        onehot,
+        pts,
+        uv.reshape(2, tb * pb),
+        mask.reshape(1, tb * pb),
+        inv_w.astype(dtype).reshape(1, 1),
+    )
+    return (
+        jc.reshape(2 * np_cam, tb, pb),
+        jp.reshape(6, tb, pb),
+        pt_acc[:6],
+        pt_acc[6:9],
+        cam_acc.T,  # (C, cols)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_cam", "tb", "pb", "interpret")
+)
+def tt_coupling_fused(
+    onehot: jax.Array,  # (C, Tb*Pb)
+    jc: jax.Array,  # (2np, Tb, Pb)
+    jp: jax.Array,  # (6, Tb, Pb)
+    v_inv: jax.Array,  # (6, Pb)
+    np_cam: int,
+    tb: int,
+    pb: int,
+    interpret: bool = False,
+):
+    """Fused exact-S-diagonal coupling columns: (C, n_triu)."""
+    from tpu3drecon.solvers.ba_tt import _triu_pairs
+
+    c = onehot.shape[0]
+    triu = tuple(_triu_pairs(np_cam))
+    n_triu = len(triu)
+    nb = min(_NB, pb)
+    assert pb % nb == 0, (pb, nb)
+    jb = pb // nb
+    dtype = jp.dtype
+
+    kernel = functools.partial(_coupling_kernel, np_cam=np_cam, triu=triu)
+    flat = lambda j, t: (0, t * jb + j)  # noqa: E731
+    coup = pl.pallas_call(
+        kernel,
+        grid=(jb, tb),
+        in_specs=[
+            pl.BlockSpec((c, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * np_cam, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_triu, c), lambda j, t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_triu, c), dtype),
+        interpret=interpret,
+    )(
+        onehot,
+        jc.reshape(2 * np_cam, tb * pb),
+        jp.reshape(6, tb * pb),
+        v_inv,
+    )
+    return coup.T  # (C, n_triu)

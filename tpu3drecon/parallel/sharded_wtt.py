@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu3drecon.parallel.mesh import mesh_key
 from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
-from tpu3drecon.problems.wtt import BAWTTProblem, WTTBucket
+from tpu3drecon.problems.wtt import BAWTTProblem, WTTBucket, unpermute_cameras
 from tpu3drecon.solvers.ba_wtt import _ba_solve_wtt_core
 from tpu3drecon.solvers.ba_tt import _tt_state
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
@@ -134,6 +134,7 @@ def ba_solve_wtt_sharded(
         [jnp.moveaxis(p, 0, 2).reshape(-1, 3) for p in pts_out], axis=0
     )
     pts_full = unpermute_points(points3d, problem)
+    cameras_out = unpermute_cameras(cameras_out, problem.cam_rows)
     state = _tt_state(cameras_out, pts_full, final)
     return cameras_out, pts_full, state
 

@@ -86,6 +86,11 @@ class BAWTTProblem:
     buckets: Tuple[WTTBucket, ...]
     avg_cam_width: jax.Array  # ()
     point_rows: jax.Array = None
+    # Camera relabeling applied at pack time for window locality
+    # (problems/reorder.py): row ``new`` of ``cameras`` is original camera
+    # ``cam_rows[new]``.  None = identity.  Engines un-permute their camera
+    # output with this so callers always see original camera order.
+    cam_rows: jax.Array = None
     n_real_points: int = dataclasses.field(default=0, metadata=dict(static=True))
     bucket_offsets: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -100,6 +105,28 @@ class BAWTTProblem:
 
 def _pad_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def unpermute_cameras(cameras: CameraParams, cam_rows) -> CameraParams:
+    """Map relabeled camera output back to original camera order.
+
+    ``cam_rows[new] = old`` (see BAWTTProblem.cam_rows); identity when None.
+    Jit-safe (pure scatter-set of a permutation).
+    """
+    if cam_rows is None:
+        return cameras
+    rows = jnp.asarray(cam_rows)
+
+    def unperm(x):
+        return jnp.zeros_like(x).at[rows].set(x)
+
+    return CameraParams(
+        rmats=unperm(cameras.rmats),
+        tvecs=unperm(cameras.tvecs),
+        fx_fy=unperm(cameras.fx_fy),
+        cx_cy_skew=unperm(cameras.cx_cy_skew),
+        dist=unperm(cameras.dist),
+    )
 
 
 def _choose_cap(run_lengths, max_waste: float = 0.125, min_groups: int = 1) -> int:
@@ -140,6 +167,7 @@ def wtt_from_flat(
     max_onehot_bytes: int = 8 << 30,
     chunk_multiple: int = 1,
     onehot_dtype=None,
+    reorder_cameras: str = "auto",
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
@@ -162,7 +190,42 @@ def wtt_from_flat(
     the mesh size for the sharded engine, which splits the group axis
     across devices: parallel/sharded_wtt.py).  Padding groups carry
     all-zero masks/one-hots and contribute exact zeros.
+
+    ``reorder_cameras`` controls the window-locality relabeling
+    (problems/reorder.py — RCM on the co-visibility graph): ``"auto"``
+    relabels when it shrinks the mean track span, ``"always"`` forces the
+    RCM order, ``"never"`` keeps the input ids.  Shuffled or unstructured
+    camera ids otherwise degenerate the windows toward c_pad and trip the
+    ``max_onehot_bytes`` guard.  The engines un-permute their camera
+    output via ``cam_rows``, so callers see original camera order either
+    way.
     """
+    cam_rows = None
+    if reorder_cameras not in ("auto", "always", "never"):
+        raise ValueError(f"reorder_cameras={reorder_cameras!r}")
+    if reorder_cameras != "never":
+        from tpu3drecon.problems.reorder import (
+            permute_cameras_flat,
+            plan_camera_order,
+            rcm_camera_order,
+        )
+
+        ci = np.asarray(jax.device_get(problem.cam_idx))
+        pi = np.asarray(jax.device_get(problem.pt_idx))
+        mk = np.asarray(jax.device_get(problem.mask))
+        if reorder_cameras == "always":
+            real = mk > 0
+            perm = rcm_camera_order(
+                ci[real], pi[real], problem.n_cameras, problem.n_points
+            )
+        else:
+            perm, _stats = plan_camera_order(
+                ci, pi, mk, problem.n_cameras, problem.n_points
+            )
+        if perm is not None:
+            problem = permute_cameras_flat(problem, perm)
+            cam_rows = perm
+
     g = grid_bucketed_from_flat(
         problem,
         bounds=bounds,
@@ -315,6 +378,9 @@ def wtt_from_flat(
         point_rows=jnp.asarray(np.concatenate(rows_chunks, axis=0))
         if rows_chunks
         else g.point_rows,
+        cam_rows=jnp.asarray(cam_rows.astype(np.int32))
+        if cam_rows is not None
+        else None,
         n_real_points=g.n_real_points,
         bucket_offsets=tuple(offsets),
         window=max(windows) if windows else CAM_TILE,

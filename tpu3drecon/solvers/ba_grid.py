@@ -261,6 +261,11 @@ def ba_solve_grid(
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Grid-layout BA solve; returns the same (cameras, points, BAState)
     triple as ba_solve."""
+    if config.optimize_pp:
+        raise ValueError(
+            "optimize_pp is supported by the track-table engines "
+            "(ba_solve_tt / ba_solve_wtt) only"
+        )
     with jax.default_matmul_precision("highest"):
         return _ba_solve_grid_impl(problem, config)
 

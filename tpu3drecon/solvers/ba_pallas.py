@@ -280,6 +280,11 @@ def ba_solve_pallas(
     BAGridBucketedProblem — bucketed outputs are un-permuted back to the
     original point order before returning.
     """
+    if config.optimize_pp:
+        raise ValueError(
+            "optimize_pp is supported by the track-table engines "
+            "(ba_solve_tt / ba_solve_wtt) only"
+        )
     with jax.default_matmul_precision("highest"):
         cams, pts, state = _ba_solve_pallas_impl(problem, config, interpret)
         if isinstance(problem, BAGridBucketedProblem):

@@ -38,7 +38,7 @@ from tpu3drecon.ops.jacobians import apply_se3_retraction
 from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.problems.tt import BATTProblem, TTBucket
-from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, n_cam_params
 from tpu3drecon.solvers.pcg import cho_block_precond, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
@@ -171,6 +171,11 @@ def _tt_blocks(
         dv_ds = fy * my
         jc_row0 += [du_ds * r2, du_ds * r2 * r2]
         jc_row1 += [dv_ds * r2, dv_ds * r2 * r2]
+    if config.optimize_pp:
+        # du/dcx = 1, dv/dcy = 1 (the whitening scale applies below).
+        one = jnp.ones_like(a11)
+        jc_row0 += [one, zero]
+        jc_row1 += [zero, one]
     jc_rows = jc_row0 + jc_row1
 
     # J_pt = dpi @ R (per-slot rotation planes).
@@ -231,6 +236,29 @@ def _sym3_matvec(m6: jax.Array, x: jax.Array) -> jax.Array:
 
 def _triu_pairs(np_cam: int):
     return [(i, j) for i in range(np_cam) for j in range(i, np_cam)]
+
+
+def _u_g_contribs(jc, r, np_cam: int, triu) -> list:
+    """Per-slot U upper-triangle + gradient planes (shared by the XLA
+    linearization and the fused Pallas kernel — one source of truth)."""
+    contribs = [jc[i] * jc[j] + jc[np_cam + i] * jc[np_cam + j] for (i, j) in triu]
+    contribs += [jc[i] * r[0] + jc[np_cam + i] * r[1] for i in range(np_cam)]
+    return contribs
+
+
+def _coupling_contribs(jc, jp, vi_rows, np_cam: int, triu) -> list:
+    """Per-slot W v_inv W^T upper-triangle planes (exact S-diagonal
+    contribution; ``vi_rows`` is the symmetric 3x3 of v_inv planes already
+    broadcastable against the slot shape)."""
+    w_slot = [
+        [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
+        for i in range(np_cam)
+    ]
+    wv = [
+        [sum(w_slot[i][j] * vi_rows[j][l] for j in range(3)) for l in range(3)]
+        for i in range(np_cam)
+    ]
+    return [sum(wv[i][l] * w_slot[j][l] for l in range(3)) for (i, j) in triu]
 
 
 def _unpack_sym(cols: jax.Array, np_cam: int) -> jax.Array:
@@ -297,22 +325,58 @@ def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem, axis_name=None):
     return jnp.einsum("cij,cj->ci", nb.u, x_cam) - _psum(coup, axis_name)
 
 
-def _linearize(params, lam, problem, config: BAConfig, axis_name=None) -> TTNormal:
-    rmats, tvecs, fx_fy, dist, pts_list = params
+def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
+               kernels: bool = False, interpret: bool = False) -> TTNormal:
+    rmats, tvecs, fx_fy, dist, ccs, pts_list = params
     dtype = pts_list[0].dtype
-    cams = problem.cameras
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table = _cam_table(rmats, tvecs, fx_fy, ccs, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
-    np_cam = 10 if config.optimize_dist else 8
+    np_cam = n_cam_params(config)
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
     u_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
     g_cols = jnp.zeros((rmats.shape[0], np_cam), dtype)
     coup_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
+    if kernels:
+        from tpu3drecon.ops.pallas.tt_linearize import (
+            tt_cam_normal_fused,
+            tt_coupling_fused,
+        )
+
+        # Only the slot-math-relevant (hashable, static) config fields enter
+        # the kernel; dynamic fields may be tracers here.
+        kcfg = BAConfig(
+            loss=config.loss,
+            optimize_focal=config.optimize_focal,
+            optimize_points=config.optimize_points,
+            optimize_dist=config.optimize_dist,
+            optimize_pp=config.optimize_pp,
+        )
     bucket_normals = []
     for bucket, pts in zip(problem.buckets, pts_list):
         tb, pb = bucket.mask.shape
+        if kernels:
+            jc, jp, v6, g_pt, ug = tt_cam_normal_fused(
+                table, _flat_onehot(bucket), pts, bucket.uv, bucket.mask,
+                inv_w, kcfg, np_cam, tb, pb, interpret=interpret,
+            )
+            dv = jnp.clip(v6[jnp.asarray([0, 3, 5])], 1e-8, None)
+            damp_pt = lam * dv
+            v6_d = v6.at[jnp.asarray([0, 3, 5])].add(damp_pt)
+            v_inv = _sym3_inv_planes(v6_d)
+            u_cols = u_cols + ug[:, :n_triu]
+            g_cols = g_cols + ug[:, n_triu:]
+            if config.precond == "schur_jacobi":
+                coup_cols = coup_cols + tt_coupling_fused(
+                    _flat_onehot(bucket), jc, jp, v_inv, np_cam, tb, pb,
+                    interpret=interpret,
+                )
+            bucket_normals.append(
+                TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt,
+                               damp_pt=damp_pt)
+            )
+            continue
         cp = _cam_planes(table, bucket)
         blocks = _tt_blocks(cp, pts, bucket.uv, bucket.mask, inv_w, config)
         jc, jp, r = blocks.jc, blocks.jp, blocks.r
@@ -334,33 +398,17 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None) -> TTNorm
 
         # Camera-side contributions, one fused one-hot reduce:
         # U upper-triangle planes + gradient planes (+ coupling planes).
-        contribs = [jc[i] * jc[j] + jc[np_cam + i] * jc[np_cam + j] for (i, j) in triu]
-        contribs += [jc[i] * r[0] + jc[np_cam + i] * r[1] for i in range(np_cam)]
+        contribs = _u_g_contribs(jc, r, np_cam, triu)
         if config.precond == "schur_jacobi":
             # Exact S-diagonal contribution per slot: W v_inv W^T with
-            # W = jc_row0 (x) jp_row0 + jc_row1 (x) jp_row1 (np x 3) and
             # v_inv broadcast from the point side (free: the table is
             # point-major).
-            w_slot = [
-                [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
-                for i in range(np_cam)
-            ]
             vi = [
-                [v_inv[0], v_inv[1], v_inv[2]],
-                [v_inv[1], v_inv[3], v_inv[4]],
-                [v_inv[2], v_inv[4], v_inv[5]],
+                [v_inv[0][None], v_inv[1][None], v_inv[2][None]],
+                [v_inv[1][None], v_inv[3][None], v_inv[4][None]],
+                [v_inv[2][None], v_inv[4][None], v_inv[5][None]],
             ]
-            wv = [
-                [
-                    sum(w_slot[i][j] * vi[j][l][None] for j in range(3))
-                    for l in range(3)
-                ]
-                for i in range(np_cam)
-            ]
-            contribs += [
-                sum(wv[i][l] * w_slot[j][l] for l in range(3))
-                for (i, j) in triu
-            ]
+            contribs += _coupling_contribs(jc, jp, vi, np_cam, triu)
         reduced = _reduce_to_cams(jnp.stack(contribs), bucket)
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
@@ -411,10 +459,9 @@ def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
 
 
 def _cost(params, problem, config: BAConfig, axis_name=None) -> jax.Array:
-    rmats, tvecs, fx_fy, dist, pts_list = params
+    rmats, tvecs, fx_fy, dist, ccs, pts_list = params
     dtype = pts_list[0].dtype
-    cams = problem.cameras
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table = _cam_table(rmats, tvecs, fx_fy, ccs, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
     total = jnp.zeros((), dtype)
     for bucket, pts in zip(problem.buckets, pts_list):
@@ -438,17 +485,23 @@ def _cost(params, problem, config: BAConfig, axis_name=None) -> jax.Array:
 
 
 def ba_solve_tt(
-    problem: BATTProblem, config: BAConfig = BAConfig()
+    problem: BATTProblem, config: BAConfig = BAConfig(),
+    kernels: bool = False, interpret: bool = False,
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Track-table BA solve; same (cameras, points, BAState) outputs and the
-    same trust-region trajectory as ba_solve/ba_solve_grid/ba_solve_pallas."""
+    same trust-region trajectory as ba_solve/ba_solve_grid/ba_solve_pallas.
+
+    ``kernels=True`` runs the fused Pallas linearization
+    (ops/pallas/tt_linearize.py) — numerically the same step sequence,
+    less HBM traffic; ``interpret=True`` emulates the kernels on CPU."""
     with jax.default_matmul_precision("highest"):
         pts_list = []
         for bucket, off in zip(problem.buckets, problem.bucket_offsets):
             pb = bucket.mask.shape[1]
             pts_list.append(problem.points3d[off : off + pb].T)  # (3, Pb)
         cams, pts_out, final = _ba_solve_tt_core(
-            problem, tuple(pts_list), config
+            problem, tuple(pts_list), config, kernels=kernels,
+            interpret=interpret,
         )
         points3d = jnp.concatenate([p.T for p in pts_out], axis=0)
         pts = unpermute_points(points3d, problem)
@@ -466,7 +519,8 @@ def _tt_state(cams: CameraParams, points3d: jax.Array, final) -> BAState:
     )
 
 
-def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None):
+def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None,
+                      kernels: bool = False, interpret: bool = False):
     """Shared solve body: single-chip (axis_name=None) and the SPMD path.
 
     ``problem`` only needs .cameras / .buckets / .avg_cam_width here; under
@@ -477,13 +531,17 @@ def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None):
     """
     cams = problem.cameras
     dtype = pts_list[0].dtype
-    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, pts_list)
+    params0 = (
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, cams.cx_cy_skew,
+        pts_list,
+    )
 
     def pmax(x):
         return jax.lax.pmax(x, axis_name) if axis_name else x
 
     def propose(params, lam):
-        nb = _linearize(params, lam, problem, config, axis_name)
+        nb = _linearize(params, lam, problem, config, axis_name,
+                        kernels=kernels, interpret=interpret)
         gp_max = jnp.asarray(0.0, dtype)
         for bn in nb.buckets:
             gp_max = jnp.maximum(gp_max, jnp.max(jnp.abs(bn.g_pt)))
@@ -518,21 +576,27 @@ def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None):
         return (dc, tuple(dps)), grad_norm, pred, cg_iters
 
     def apply_step(params, delta):
-        rmats, tvecs, fx_fy, dist, pts = params
+        rmats, tvecs, fx_fy, dist, ccs, pts = params
         dc, dps = delta
         new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc[:, :8])
-        new_d = dist + dc[:, 8:10] if config.optimize_dist else dist
+        off = 8
+        new_d = dist
+        if config.optimize_dist:
+            new_d = dist + dc[:, off : off + 2]
+            off += 2
+        new_c = ccs
+        if config.optimize_pp:
+            new_c = ccs.at[:, :2].add(dc[:, off : off + 2])
         new_pts = tuple(p + dp for p, dp in zip(pts, dps))
-        return (new_r, new_t, new_f, new_d, new_pts)
+        return (new_r, new_t, new_f, new_d, new_c, new_pts)
 
     cost = functools.partial(
         _cost, problem=problem, config=config, axis_name=axis_name
     )
     final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
-    rmats, tvecs, fx_fy, dist, pts_out = final.params
+    rmats, tvecs, fx_fy, dist, ccs, pts_out = final.params
     cameras_out = CameraParams(
-        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
-        dist=dist,
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=ccs, dist=dist,
     )
     return cameras_out, pts_out, final
 
@@ -541,8 +605,10 @@ _TT_SOLVER_CACHE: dict = {}
 _TT_JIT_CACHE: dict = {}
 
 
-def make_tt_ba_solver(config: BAConfig = BAConfig()):
-    if config not in _TT_SOLVER_CACHE:
+def make_tt_ba_solver(config: BAConfig = BAConfig(), kernels: bool = False,
+                      interpret: bool = False):
+    key = (config, kernels, interpret)
+    if key not in _TT_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
             dynamic_operands,
             merge_dynamic_config,
@@ -550,13 +616,17 @@ def make_tt_ba_solver(config: BAConfig = BAConfig()):
         )
 
         static = static_config(config)
-        jfn = _TT_JIT_CACHE.get(static)
+        jkey = (static, kernels, interpret)
+        jfn = _TT_JIT_CACHE.get(jkey)
         if jfn is None:
             jfn = jax.jit(
-                lambda p, d, s=static: ba_solve_tt(p, merge_dynamic_config(s, d))
+                lambda p, d, s=static: ba_solve_tt(
+                    p, merge_dynamic_config(s, d), kernels=kernels,
+                    interpret=interpret,
+                )
             )
-            _TT_JIT_CACHE[static] = jfn
-        _TT_SOLVER_CACHE[config] = lambda p, _j=jfn, _c=config: _j(
+            _TT_JIT_CACHE[jkey] = jfn
+        _TT_SOLVER_CACHE[key] = lambda p, _j=jfn, _c=config: _j(
             p, dynamic_operands(_c)
         )
-    return _TT_SOLVER_CACHE[config]
+    return _TT_SOLVER_CACHE[key]

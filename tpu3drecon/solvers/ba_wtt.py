@@ -32,17 +32,24 @@ import jax.numpy as jnp
 from tpu3drecon.ops.jacobians import apply_se3_retraction
 from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
-from tpu3drecon.problems.wtt import BAWTTProblem, CAM_TILE, WTTBucket
+from tpu3drecon.problems.wtt import (
+    BAWTTProblem,
+    CAM_TILE,
+    WTTBucket,
+    unpermute_cameras,
+)
 from tpu3drecon.solvers.ba_tt import (
     _cam_table,
+    _coupling_contribs,
     _psum,
     _sym3_inv_planes,
     _triu_pairs,
     _tt_blocks,
     _tt_state,
+    _u_g_contribs,
     _unpack_sym,
 )
-from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
+from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, n_cam_params
 from tpu3drecon.solvers.pcg import cho_block_precond, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
@@ -170,15 +177,14 @@ def _sym3_matvec_g(m6: jax.Array, x: jax.Array) -> jax.Array:
 
 def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
                axis_name=None) -> WTTNormal:
-    rmats, tvecs, fx_fy, dist, pts_list = params
+    rmats, tvecs, fx_fy, dist, ccs, pts_list = params
     dtype = pts_list[0].dtype
-    cams = problem.cameras
     c_pad = problem.c_pad
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table = _cam_table(rmats, tvecs, fx_fy, ccs, dist)
     table_pad = jnp.zeros((c_pad, table.shape[1]), dtype).at[: table.shape[0]].set(table)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
-    np_cam = 10 if config.optimize_dist else 8
+    np_cam = n_cam_params(config)
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
     u_cols = jnp.zeros((c_pad, n_triu), dtype)
@@ -209,30 +215,16 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         v6_d = v6.at[jnp.asarray([0, 3, 5])].add(damp_pt)
         v_inv = _sym3_inv_planes(v6_d)
 
-        contribs = [jc[i] * jc[j] + jc[np_cam + i] * jc[np_cam + j] for (i, j) in triu]
-        contribs += [jc[i] * r[0] + jc[np_cam + i] * r[1] for i in range(np_cam)]
+        contribs = _u_g_contribs(jc, r, np_cam, triu)
         if config.precond == "schur_jacobi":
-            w_slot = [
-                [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
-                for i in range(np_cam)
-            ]
-            vi = [
-                [v_inv[0], v_inv[1], v_inv[2]],
-                [v_inv[1], v_inv[3], v_inv[4]],
-                [v_inv[2], v_inv[4], v_inv[5]],
-            ]
             # v_inv is (6, G, Pc): broadcast over the Tb axis of the slots.
-            wv = [
-                [
-                    sum(w_slot[i][j] * vi[j][l][:, None, :] for j in range(3))
-                    for l in range(3)
-                ]
-                for i in range(np_cam)
+            vb = [v_inv[i][:, None, :] for i in range(6)]
+            vi = [
+                [vb[0], vb[1], vb[2]],
+                [vb[1], vb[3], vb[4]],
+                [vb[2], vb[4], vb[5]],
             ]
-            contribs += [
-                sum(wv[i][l] * w_slot[j][l] for l in range(3))
-                for (i, j) in triu
-            ]
+            contribs += _coupling_contribs(jc, jp, vi, np_cam, triu)
         reduced = _reduce_to_cams_w(contribs, bucket, c_pad)
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
@@ -277,10 +269,9 @@ def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
 def _cost(params, problem: BAWTTProblem, config: BAConfig, axis_name=None):
     from tpu3drecon.geometry.losses import robust_weight
 
-    rmats, tvecs, fx_fy, dist, pts_list = params
+    rmats, tvecs, fx_fy, dist, ccs, pts_list = params
     dtype = pts_list[0].dtype
-    cams = problem.cameras
-    table = _cam_table(rmats, tvecs, fx_fy, cams.cx_cy_skew, dist)
+    table = _cam_table(rmats, tvecs, fx_fy, ccs, dist)
     table_pad = jnp.zeros((problem.c_pad, table.shape[1]), dtype).at[
         : table.shape[0]
     ].set(table)
@@ -329,6 +320,7 @@ def ba_solve_wtt(
             [jnp.moveaxis(p, 0, 2).reshape(-1, 3) for p in pts_out], axis=0
         )
         pts = unpermute_points(points3d, problem)
+        cams = unpermute_cameras(cams, problem.cam_rows)
         state = _tt_state(cams, pts, final)
         return cams, pts, state
 
@@ -338,7 +330,10 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
     cams = problem.cameras
     dtype = pts_list[0].dtype
     n_cams = cams.rmats.shape[0]
-    params0 = (cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, pts_list)
+    params0 = (
+        cams.rmats, cams.tvecs, cams.fx_fy, cams.dist, cams.cx_cy_skew,
+        pts_list,
+    )
 
     def pmax(x):
         return jax.lax.pmax(x, axis_name) if axis_name else x
@@ -380,22 +375,28 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
         return (dc, tuple(dps)), grad_norm, pred, cg_iters
 
     def apply_step(params, delta):
-        rmats, tvecs, fx_fy, dist, pts = params
+        rmats, tvecs, fx_fy, dist, ccs, pts = params
         dc_pad, dps = delta
         dc = dc_pad[:n_cams]
         new_r, new_t, new_f = apply_se3_retraction(rmats, tvecs, fx_fy, dc[:, :8])
-        new_d = dist + dc[:, 8:10] if config.optimize_dist else dist
+        off = 8
+        new_d = dist
+        if config.optimize_dist:
+            new_d = dist + dc[:, off : off + 2]
+            off += 2
+        new_c = ccs
+        if config.optimize_pp:
+            new_c = ccs.at[:, :2].add(dc[:, off : off + 2])
         new_pts = tuple(p + dp for p, dp in zip(pts, dps))
-        return (new_r, new_t, new_f, new_d, new_pts)
+        return (new_r, new_t, new_f, new_d, new_c, new_pts)
 
     cost = functools.partial(
         _cost, problem=problem, config=config, axis_name=axis_name
     )
     final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
-    rmats, tvecs, fx_fy, dist, pts_out = final.params
+    rmats, tvecs, fx_fy, dist, ccs, pts_out = final.params
     cameras_out = CameraParams(
-        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=cams.cx_cy_skew,
-        dist=dist,
+        rmats=rmats, tvecs=tvecs, fx_fy=fx_fy, cx_cy_skew=ccs, dist=dist,
     )
     return cameras_out, pts_out, final
 

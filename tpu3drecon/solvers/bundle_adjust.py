@@ -51,6 +51,12 @@ class BAConfig(NamedTuple):
     # engine (solvers/ba_tt.py) — the BAL-style joint refinement that the
     # alternating intrinsics_refine loop only approaches linearly.
     optimize_dist: bool = False
+    # Jointly optimize the principal point (cx, cy) as part of each camera
+    # block (+2 params/cam).  Track-table engines (tt/wtt) only.  Exceeds
+    # the reference, which freezes cx/cy/skew unconditionally
+    # (src/reconstruction/bundle_adjustment/utils.py:47-57); SIMPLE_RADIAL
+    # real data often needs pp refinement.
+    optimize_pp: bool = False
     # CG preconditioner for the reduced camera system:
     #   "jacobi_u":     block-Jacobi on damped U (ignores point-elimination fill)
     #   "schur_jacobi": exact diagonal blocks of S = U - W V^-1 W^T (Ceres'
@@ -62,6 +68,12 @@ class BAConfig(NamedTuple):
     # (complex64 gathers hit an XLA slow path) — keep False; the code path
     # stays for future element-width experiments.
     packed_gathers: bool = False
+
+
+def n_cam_params(config: "BAConfig") -> int:
+    """Per-camera parameter-block width: pose(6) + focal(2) [+ k1,k2]
+    [+ cx,cy].  Column order: so3 | t | fx fy | dist | pp."""
+    return 8 + 2 * bool(config.optimize_dist) + 2 * bool(config.optimize_pp)
 
 
 class DynamicBAParams(NamedTuple):
@@ -196,6 +208,11 @@ def ba_solve(
     decisions computed on replicated scalars so every device steps in
     lockstep.
     """
+    if config.optimize_pp:
+        raise ValueError(
+            "optimize_pp is supported by the track-table engines "
+            "(ba_solve_tt / ba_solve_wtt) only"
+        )
     # TPU matmuls default to bf16 inputs on the MXU; the tiny 2x8/3x3 block
     # algebra here is bandwidth-bound anyway, so force full f32 precision —
     # without this the f32 solve stalls ~4 orders of magnitude short (see
