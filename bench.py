@@ -74,6 +74,7 @@ def _tpu_alive(timeout_s: float = 900.0) -> bool:
 def main(force_cpu: bool = False) -> None:
     import jax
 
+    from tpu3drecon.utils.aot_cache import entry_count as aot_entry_count
     from tpu3drecon.utils.compile_cache import cache_entry_count, enable_compilation_cache
 
     tpu_fell_back = False
@@ -83,6 +84,7 @@ def main(force_cpu: bool = False) -> None:
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
     cache_entries_before = cache_entry_count()
+    aot_entries_before = aot_entry_count()
     enable_compilation_cache()
 
     from tpu3drecon.benchmark.medium_config import (
@@ -110,7 +112,10 @@ def main(force_cpu: bool = False) -> None:
             from tpu3drecon.utils.placement import commit
 
             problem = commit(tt_from_flat(flat_host))
-            solver = make_tt_ba_solver(BENCH_CONFIG)
+            # AOT executable cache: later processes skip XLA compilation
+            # entirely (the jax persistent cache never hits on this TPU
+            # plugin — RESULTS.md round 2).
+            solver = make_tt_ba_solver(BENCH_CONFIG, aot=True)
             compile_s, times, (cams, pts, state) = timed_solve_stats(
                 solver, problem, repeats=reps
             )
@@ -189,9 +194,11 @@ def main(force_cpu: bool = False) -> None:
             "backend": jax.default_backend(),
             "cpu_baseline_s": CPU_BASELINE_S,
             "tpu_probe_failed": tpu_fell_back,
-            # compile_s <= ~5s together with warm_cache=True demonstrates the
-            # persistent compilation cache (cold process pays ~24s once).
+            # compile_s <= ~5s together with warm_aot_cache=True demonstrates
+            # the persistent AOT executable cache (utils/aot_cache.py; cold
+            # process pays the full XLA compile once per config+shape).
             "warm_cache": cache_entries_before > 0,
+            "warm_aot_cache": aot_entries_before > 0,
         },
     }
     if cpu_baseline_drift is not None:

@@ -24,9 +24,12 @@ Run:
 
 from __future__ import annotations
 
+import os
 import pickle
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _child_smoke(payload_path: str) -> None:

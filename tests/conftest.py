@@ -42,8 +42,46 @@ def pytest_configure(config):
     )
 
 
+# Heavy tests (>=~15 s on the virtual CPU mesh, measured suite durations):
+# multi-device f64 equality, GT-recovery solves, subprocess harnesses.
+# Matched by nodeid substring and marked slow; everything else is the fast
+# tier (`pytest -m fast` — every module's core invariants in <5 min).
+_SLOW_NODE_PATTERNS = (
+    "test_sharded_wtt.py",
+    "test_sharded_tt.py",
+    "test_sharded_grid.py",
+    "test_sharding.py::test_sharded_matches_single_device",
+    "test_sharding.py::test_sharded_pose_refinement_batch_dp",
+    "test_sharding.py::test_bal_class_shapes_dry_run",
+    "test_ba_wtt.py::TestWTTSolve",
+    "test_intrinsics_refine.py::test_ba_with_intrinsics_calibration",
+    "test_ba_tt.py::TestTTSolveModes",
+    "test_ba_tt.py::TestTTSolveEquality::test_fused_kernels_match_xla",
+    "test_utils.py::TestMultiprocess::test_list_processor_parallel",
+    "test_utils.py::TestCheckpoint",
+    "test_packed_gather.py::test_pallas_engine_packed_equals_unpacked",
+    "test_cli.py::test_solve_bal_track_table_engines",
+    "test_cli.py::test_solve_colmap_writeback",
+    "test_cli.py::test_solve_bal_writes_output",
+    "test_pose_refine.py::test_float32_path",
+    "test_tracking.py::test_many_frames_single_executable",
+    "test_ba_pallas.py::test_pallas_solve_matches_grid_engine",
+    "test_ba_pallas.py::test_pallas_cauchy_loss",
+    "test_bundle_adjust.py::TestScaling::test_beyond_reference_ceiling",
+    "test_reorder.py::TestWTTReorder::test_solve_matches_tt_on_shuffled",
+    "test_ba_pallas.py::test_bucketed_tracks_match_plain",
+    "test_ba_pallas.py::test_pallas_solve_converges",
+    "test_ba_tt.py::TestTTSolveEquality::test_matches_grid_engine",
+    "test_benchmark_harness.py::TestSubprocessIsolation",
+    "test_benchmark_harness.py::TestDrivers::test_cost_curve_plot",
+    "test_ba_grid.py::TestGridSolve::test_matches_flat_solve",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if any(p in item.nodeid for p in _SLOW_NODE_PATTERNS):
+            item.add_marker(pytest.mark.slow)
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.fast)
 
@@ -85,5 +123,9 @@ def _disable_compile_cache():
     virtual CPU mesh.
     """
     os.environ["TPU3DRECON_CACHE_DISABLE"] = "1"
+    # Same precaution for the AOT executable cache (utils/aot_cache.py):
+    # tests must not write executables into the shared repo cache.
+    os.environ["TPU3DRECON_AOT_CACHE_DISABLE"] = "1"
     yield
     os.environ.pop("TPU3DRECON_CACHE_DISABLE", None)
+    os.environ.pop("TPU3DRECON_AOT_CACHE_DISABLE", None)

@@ -1,0 +1,121 @@
+"""Persistent AOT executable cache (utils/aot_cache.py).
+
+Correctness on the CPU backend; the cross-process TPU proof lives in
+experiments/tpu_aot_cache.py (recorded in RESULTS.md round 3).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drecon.utils import aot_cache
+
+
+@pytest.fixture
+def cache_dir(tmp_path, monkeypatch):
+    # conftest sets TPU3DRECON_AOT_CACHE_DISABLE for the whole suite; these
+    # tests exercise the cache itself in an isolated tmp dir.
+    monkeypatch.delenv("TPU3DRECON_AOT_CACHE_DISABLE", raising=False)
+    return tmp_path / "aot"
+
+
+def test_miss_then_hit_same_results(cache_dir):
+    @jax.jit
+    def f(x, y):
+        return jnp.sin(x) @ y + 1.0
+
+    x = jnp.full((64, 64), 0.5)
+    y = jnp.full((64, 64), 2.0)
+    expected = np.asarray(f(x, y))
+
+    assert aot_cache.entry_count(cache_dir) == 0
+    c1 = aot_cache.cached_compile(f, x, y, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c1(x, y)), expected, rtol=1e-6)
+    stored = aot_cache.entry_count(cache_dir)
+
+    c2 = aot_cache.cached_compile(f, x, y, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c2(x, y)), expected, rtol=1e-6)
+    assert aot_cache.entry_count(cache_dir) == stored
+    if stored == 0:
+        pytest.skip("backend does not support executable serialization")
+
+
+def test_fingerprint_sensitive_to_shape_and_code(cache_dir):
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    @jax.jit
+    def g(x):
+        return x * 3.0
+
+    a = jnp.ones((32, 32))
+    b = jnp.ones((64, 32))
+    k_fa = aot_cache.lowered_fingerprint(f.lower(a))
+    k_fb = aot_cache.lowered_fingerprint(f.lower(b))
+    k_ga = aot_cache.lowered_fingerprint(g.lower(a))
+    assert k_fa != k_fb  # shape changes the key
+    assert k_fa != k_ga  # code changes the key
+    assert k_fa == aot_cache.lowered_fingerprint(f.lower(a))  # deterministic
+
+
+def test_corrupt_entry_recompiles(cache_dir):
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x) + 1.0
+
+    x = jnp.ones((16, 128))
+    aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    entries = list(cache_dir.glob("*.aot"))
+    if not entries:
+        pytest.skip("backend does not support executable serialization")
+    entries[0].write_bytes(b"garbage")
+    c = aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    np.testing.assert_allclose(
+        np.asarray(c(x)), np.tanh(np.ones((16, 128))) + 1.0, rtol=1e-6
+    )
+
+
+def test_disable_env(cache_dir, monkeypatch):
+    monkeypatch.setenv("TPU3DRECON_AOT_CACHE_DISABLE", "1")
+
+    @jax.jit
+    def f(x):
+        return x + 1.0
+
+    x = jnp.ones((8, 128))
+    c = aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c(x)), 2.0)
+    assert aot_cache.entry_count(cache_dir) == 0
+
+
+def test_aot_wrap_solver(cache_dir):
+    # End-to-end through a real solver factory: aot=True must produce the
+    # same solve as the plain path.
+    from tpu3drecon.dataset.synthetic import (
+        make_scene,
+        perturb_scene,
+        scene_to_ba_problem,
+    )
+    from tpu3drecon.problems.tt import tt_from_flat
+    from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
+    from tpu3drecon.solvers.bundle_adjust import BAConfig
+
+    os.environ["TPU3DRECON_AOT_CACHE_DIR"] = str(cache_dir)
+    try:
+        scene = make_scene(n_cameras=6, n_points=128, seed=5)
+        noisy = perturb_scene(scene, seed=6, point2d_noise=0.0)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        tt = tt_from_flat(flat, point_block=64)
+        config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=10,
+                          cg_rtol=1e-8)
+        cams_p, pts_p, st_p = make_tt_ba_solver(config)(tt)
+        cams_a, pts_a, st_a = make_tt_ba_solver(config, aot=True)(tt)
+        assert int(st_a.accepted) == int(st_p.accepted)
+        np.testing.assert_allclose(np.array(pts_a), np.array(pts_p), atol=1e-12)
+    finally:
+        os.environ.pop("TPU3DRECON_AOT_CACHE_DIR", None)

@@ -31,6 +31,14 @@ def _add_common(p):
     )
     p.add_argument("--no-focal", action="store_true", help="freeze focal lengths")
     p.add_argument("--loss", choices=("trivial", "cauchy"), default="trivial")
+    p.add_argument(
+        "--aot", action="store_true",
+        help="compile through the persistent AOT executable cache "
+        "(utils/aot_cache.py): pays the full XLA compile once per "
+        "config+shape, every later process deserializes in seconds — "
+        "the fix for the minutes-long BAL-scale compile on the axon TPU "
+        "plugin (tt/wtt engines)",
+    )
 
 
 def _setup_backend(args):
@@ -92,7 +100,7 @@ def _solve(problem, args, jax):
         from tpu3drecon.utils.placement import commit
 
         tt = commit(tt_from_flat(problem))
-        solver = make_tt_ba_solver(config)
+        solver = make_tt_ba_solver(config, aot=args.aot)
         run = lambda: solver(tt)  # noqa: E731
     elif args.engine == "wtt":
         from tpu3drecon.problems.wtt import wtt_from_flat
@@ -101,7 +109,7 @@ def _solve(problem, args, jax):
         from tpu3drecon.utils.placement import commit
 
         wtt = commit(wtt_from_flat(problem))
-        solver = make_wtt_ba_solver(config)
+        solver = make_wtt_ba_solver(config, aot=args.aot)
         run = lambda: solver(wtt)  # noqa: E731
     else:
         solver = make_ba_solver(config)

@@ -606,8 +606,12 @@ _TT_JIT_CACHE: dict = {}
 
 
 def make_tt_ba_solver(config: BAConfig = BAConfig(), kernels: bool = False,
-                      interpret: bool = False):
-    key = (config, kernels, interpret)
+                      interpret: bool = False, aot: bool = False):
+    """Jitted tt solver (cached).  ``aot=True`` routes compilation through
+    the persistent executable cache (utils/aot_cache.py) so later processes
+    skip XLA compilation entirely — the fix for the compile wall on the
+    axon TPU plugin, whose jax persistent cache never hits."""
+    key = (config, kernels, interpret, aot)
     if key not in _TT_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
             dynamic_operands,
@@ -626,7 +630,12 @@ def make_tt_ba_solver(config: BAConfig = BAConfig(), kernels: bool = False,
                 )
             )
             _TT_JIT_CACHE[jkey] = jfn
-        _TT_SOLVER_CACHE[key] = lambda p, _j=jfn, _c=config: _j(
+        call = jfn
+        if aot:
+            from tpu3drecon.utils.aot_cache import aot_wrap
+
+            call = aot_wrap(jfn)
+        _TT_SOLVER_CACHE[key] = lambda p, _j=call, _c=config: _j(
             p, dynamic_operands(_c)
         )
     return _TT_SOLVER_CACHE[key]

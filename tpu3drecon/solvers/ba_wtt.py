@@ -405,8 +405,14 @@ _WTT_SOLVER_CACHE: dict = {}
 _WTT_JIT_CACHE: dict = {}
 
 
-def make_wtt_ba_solver(config: BAConfig = BAConfig()):
-    if config not in _WTT_SOLVER_CACHE:
+def make_wtt_ba_solver(config: BAConfig = BAConfig(), aot: bool = False):
+    """Jitted wtt solver (cached).  ``aot=True`` compiles through the
+    persistent executable cache (utils/aot_cache.py): at BAL scale the wtt
+    program costs minutes of XLA compile per process on the axon plugin
+    (whose jax persistent cache never hits) — the AOT cache pays it once
+    per config+shape and every later process deserializes in seconds."""
+    key = (config, aot)
+    if key not in _WTT_SOLVER_CACHE:
         from tpu3drecon.solvers.bundle_adjust import (
             dynamic_operands,
             merge_dynamic_config,
@@ -420,7 +426,12 @@ def make_wtt_ba_solver(config: BAConfig = BAConfig()):
                 lambda p, d, s=static: ba_solve_wtt(p, merge_dynamic_config(s, d))
             )
             _WTT_JIT_CACHE[static] = jfn
-        _WTT_SOLVER_CACHE[config] = lambda p, _j=jfn, _c=config: _j(
+        call = jfn
+        if aot:
+            from tpu3drecon.utils.aot_cache import aot_wrap
+
+            call = aot_wrap(jfn)
+        _WTT_SOLVER_CACHE[key] = lambda p, _j=call, _c=config: _j(
             p, dynamic_operands(_c)
         )
-    return _WTT_SOLVER_CACHE[config]
+    return _WTT_SOLVER_CACHE[key]

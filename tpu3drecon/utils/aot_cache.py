@@ -98,12 +98,24 @@ def cached_compile(
     if not disabled:
         key = lowered_fingerprint(lowered)
         path = _cache_dir(cache_dir) / f"{key}.aot"
+        if os.environ.get("TPU3DRECON_AOT_DEBUG"):
+            dbg = _cache_dir(cache_dir) / f"{key}.stablehlo.txt"
+            dbg.parent.mkdir(parents=True, exist_ok=True)
+            dbg.write_text(lowered.as_text())
         if path.is_file():
             try:
+                import jax
+
                 t0 = time.perf_counter()
                 with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.load(f)
-                loaded = deserialize_and_load(payload, in_tree, out_tree)
+                    payload, in_tree, out_tree, n_dev = pickle.load(f)
+                # Load onto the same NUMBER of devices the executable was
+                # built for (the library default is ALL local devices, which
+                # breaks single-device executables on multi-device hosts).
+                loaded = deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:n_dev],
+                )
                 if verbose:
                     print(
                         f"aot_cache: HIT {path.name} "
@@ -125,10 +137,14 @@ def cached_compile(
     if path is not None:
         try:
             payload, in_tree, out_tree = serialize(compiled)
+            try:
+                n_dev = len(compiled._executable.xla_executable.local_devices())
+            except AttributeError:
+                n_dev = 1
             path.parent.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(f".tmp{os.getpid()}")
             with open(tmp, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree), f)
+                pickle.dump((payload, in_tree, out_tree, n_dev), f)
             tmp.replace(path)  # atomic vs concurrent writers
             if verbose:
                 print(
@@ -140,6 +156,35 @@ def cached_compile(
             if verbose:
                 print(f"aot_cache: serialization unsupported: {e!r}")
     return compiled
+
+
+def aot_wrap(jitfn, cache_dir=None, verbose: bool = False) -> Callable:
+    """Wrap a jitted function so each argument-shape signature compiles
+    through the persistent AOT cache (memoized in-process).
+
+    Drop-in replacement for calling ``jitfn`` directly: same args, same
+    outputs.  First call per shape signature pays lower + (cache load |
+    compile); later calls dispatch the compiled executable directly.
+    """
+    import jax
+
+    memo = {}
+
+    def call(*args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        key = (
+            treedef,
+            tuple((tuple(x.shape), str(getattr(x, "dtype", type(x)))) for x in leaves),
+        )
+        compiled = memo.get(key)
+        if compiled is None:
+            compiled = cached_compile(
+                jitfn, *args, cache_dir=cache_dir, verbose=verbose
+            )
+            memo[key] = compiled
+        return compiled(*args)
+
+    return call
 
 
 def clear(cache_dir=None) -> int:
