@@ -75,6 +75,14 @@ _SLOW_NODE_PATTERNS = (
     "test_benchmark_harness.py::TestSubprocessIsolation",
     "test_benchmark_harness.py::TestDrivers::test_cost_curve_plot",
     "test_ba_grid.py::TestGridSolve::test_matches_flat_solve",
+    "test_benchmark_harness.py::TestTpuBundleAdjustment",
+    "test_benchmark_harness.py::TestTpuSinglePose",
+    "test_compat.py::TestJaxPoseOptimizerCompat::test_end_to_end",
+    "test_compat.py::TestJaxBundleAdjustmentCompat::test_end_to_end",
+    "test_bal.py::test_problem_packs_and_solves",
+    "test_bal.py::test_distorted_bal_loader_and_solve",
+    "test_bundle_adjust.py::TestConfigurations::test_float32",
+    "test_bundle_adjust.py::TestConfigurations::test_fixed_focal",
 )
 
 
@@ -92,7 +100,7 @@ def rng():
 
 
 @pytest.fixture(scope="module", autouse=True)
-def _clear_jax_caches_between_modules():
+def _clear_jax_caches_between_modules(request):
     """Free compiled executables after each test module.
 
     XLA:CPU's JIT segfaults DETERMINISTICALLY inside
@@ -103,8 +111,14 @@ def _clear_jax_caches_between_modules():
     executable caches between modules keeps the compiler below whatever
     resource limit it is tripping.  Costs cross-module recompiles of the
     shared solver caches (~1 min over the suite).
+
+    Fast-tier runs (-m fast) skip the clearing: the trap only ever fired
+    on the big sharded compiles, which are all marked slow, and keeping
+    the caches saves ~1 min of the <5-minute tier.
     """
     yield
+    if "fast" in (request.config.getoption("-m") or ""):
+        return
     import jax
 
     jax.clear_caches()

@@ -266,6 +266,10 @@ def ba_solve_grid(
             "optimize_pp is supported by the track-table engines "
             "(ba_solve_tt / ba_solve_wtt) only"
         )
+    if config.precond == "tridiag":
+        raise ValueError(
+            "precond='tridiag' is supported by the tt engine only"
+        )
     with jax.default_matmul_precision("highest"):
         return _ba_solve_grid_impl(problem, config)
 

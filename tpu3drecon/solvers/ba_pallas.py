@@ -285,6 +285,10 @@ def ba_solve_pallas(
             "optimize_pp is supported by the track-table engines "
             "(ba_solve_tt / ba_solve_wtt) only"
         )
+    if config.precond == "tridiag":
+        raise ValueError(
+            "precond='tridiag' is supported by the tt engine only"
+        )
     with jax.default_matmul_precision("highest"):
         cams, pts, state = _ba_solve_pallas_impl(problem, config, interpret)
         if isinstance(problem, BAGridBucketedProblem):

@@ -261,6 +261,31 @@ def _coupling_contribs(jc, jp, vi_rows, np_cam: int, triu) -> list:
     return [sum(wv[i][l] * w_slot[j][l] for l in range(3)) for (i, j) in triu]
 
 
+def _offdiag_pair_contribs(jc, jp, vi_rows, np_cam: int) -> list:
+    """Adjacent-track-slot coupling planes for the block-TRIDIAGONAL
+    preconditioner: full np x np grid of W_a v_inv W_b^T products between
+    slot (t, p) and slot (t+1, p) of the same track.
+
+    Track camera lists are strictly increasing (a camera observes a point
+    at most once), so every (c, c+1) entry of S comes from a slot-ADJACENT
+    pair — masking these planes with the pair one-hot (see _linearize)
+    reconstructs S_{c,c+1} EXACTLY (pinned in tests/test_tridiag.py).
+    Planes are (Tb-1, Pb)."""
+    w_slot = [
+        [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
+        for i in range(np_cam)
+    ]
+    wv = [
+        [sum(w_slot[i][j] * vi_rows[j][l] for j in range(3)) for l in range(3)]
+        for i in range(np_cam)
+    ]
+    return [
+        sum(wv[i][l][:-1, :] * w_slot[j][l][1:, :] for l in range(3))
+        for i in range(np_cam)
+        for j in range(np_cam)
+    ]
+
+
 def _unpack_sym(cols: jax.Array, np_cam: int) -> jax.Array:
     """(C, np(np+1)/2) upper-triangle columns -> (C, np, np) symmetric."""
     C = cols.shape[0]
@@ -286,6 +311,7 @@ class TTNormal(NamedTuple):
     g_cam: jax.Array  # (C, np)
     damp_cam: jax.Array  # (C, np)
     buckets: Tuple[TTBucketNormal, ...]
+    tridiag: object = None  # TridiagFactor when config.precond == "tridiag"
 
 
 def _wt_times_bucket(bn: TTBucketNormal, x_cam: jax.Array, bucket: TTBucket):
@@ -333,11 +359,13 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
     np_cam = n_cam_params(config)
+    use_sj = config.precond in ("schur_jacobi", "tridiag")
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
     u_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
     g_cols = jnp.zeros((rmats.shape[0], np_cam), dtype)
     coup_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
+    e_cols = jnp.zeros((rmats.shape[0], np_cam * np_cam), dtype)
     if kernels:
         from tpu3drecon.ops.pallas.tt_linearize import (
             tt_cam_normal_fused,
@@ -399,7 +427,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
         # Camera-side contributions, one fused one-hot reduce:
         # U upper-triangle planes + gradient planes (+ coupling planes).
         contribs = _u_g_contribs(jc, r, np_cam, triu)
-        if config.precond == "schur_jacobi":
+        if use_sj:
             # Exact S-diagonal contribution per slot: W v_inv W^T with
             # v_inv broadcast from the point side (free: the table is
             # point-major).
@@ -412,15 +440,26 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
         reduced = _reduce_to_cams(jnp.stack(contribs), bucket)
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
-        if config.precond == "schur_jacobi":
+        if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
+        if config.precond == "tridiag":
+            # S_{c,c+1} blocks from adjacent-slot pairs: mask the pair
+            # planes with the PAIR one-hot (both slots real, cams exactly
+            # (c, c+1)) — derived from the existing one-hot by a camera
+            # roll, no extra packed storage.
+            oh = _flat_onehot(bucket)
+            n_cols = oh.shape[1]
+            pair_oh = oh[:, : n_cols - pb] * jnp.roll(oh, -1, axis=0)[:, pb:]
+            od = _offdiag_pair_contribs(jc, jp, vi, np_cam)
+            od_flat = jnp.stack(od).reshape(np_cam * np_cam, -1)
+            e_cols = e_cols + jnp.einsum("kn,cn->ck", od_flat, pair_oh)
         bucket_normals.append(
             TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
 
     u_cols = _psum(u_cols, axis_name)
     g_cols = _psum(g_cols, axis_name)
-    if config.precond == "schur_jacobi":
+    if use_sj:
         coup_cols = _psum(coup_cols, axis_name)
     u0 = _unpack_sym(u_cols, np_cam)
     g_cam = g_cols
@@ -428,11 +467,19 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
     damp_cam = lam * du
     u_d = u0 + damp_cam[..., None] * eye
-    if config.precond == "schur_jacobi":
+    if use_sj:
         precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
     else:
         precond_mat = u_d
     u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+
+    tridiag = None
+    if config.precond == "tridiag":
+        from tpu3drecon.solvers.tridiag import tridiag_factor
+
+        e_cols = _psum(e_cols, axis_name)
+        e_blocks = -e_cols.reshape(-1, np_cam, np_cam)
+        tridiag = tridiag_factor(precond_mat, e_blocks)
 
     return TTNormal(
         u=u_d,
@@ -440,6 +487,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
         g_cam=g_cam,
         damp_cam=damp_cam,
         buckets=tuple(bucket_normals),
+        tridiag=tridiag,
     )
 
 
@@ -450,9 +498,15 @@ def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
     coupling inside ``_schur_matvec`` touches the sharded slot axis, and its
     single psum re-replicates the matvec; all dots are therefore local.
     """
+    if nb.tridiag is not None:
+        from tpu3drecon.solvers.tridiag import tridiag_solve
+
+        precond = lambda r: tridiag_solve(nb.tridiag, r)  # noqa: E731
+    else:
+        precond = cho_block_precond(nb.u_chol)
     out = pcg(
         lambda p: _schur_matvec(nb, p, problem, axis_name),
-        cho_block_precond(nb.u_chol),
+        precond,
         b, maxiter, rtol,
     )
     return out.x, out.iters
@@ -494,6 +548,8 @@ def ba_solve_tt(
     ``kernels=True`` runs the fused Pallas linearization
     (ops/pallas/tt_linearize.py) — numerically the same step sequence,
     less HBM traffic; ``interpret=True`` emulates the kernels on CPU."""
+    if kernels and config.precond == "tridiag":
+        raise ValueError("precond='tridiag' is not fused yet; use kernels=False")
     with jax.default_matmul_precision("highest"):
         pts_list = []
         for bucket, off in zip(problem.buckets, problem.bucket_offsets):

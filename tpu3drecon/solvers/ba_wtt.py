@@ -305,6 +305,8 @@ def ba_solve_wtt(
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Windowed track-table BA solve; same outputs and trust-region
     trajectory as ba_solve_tt / ba_solve_grid (tests/test_ba_wtt.py)."""
+    if config.precond == "tridiag":
+        raise ValueError("precond='tridiag' is tt-engine-only for now")
     with jax.default_matmul_precision("highest"):
         pts_list = []
         for bucket, off in zip(problem.buckets, problem.bucket_offsets):

@@ -62,6 +62,10 @@ class BAConfig(NamedTuple):
     #   "schur_jacobi": exact diagonal blocks of S = U - W V^-1 W^T (Ceres'
     #                   SCHUR_JACOBI) — costs one extra v_inv gather per
     #                   linearization, typically halves CG iterations.
+    #   "tridiag":      exact block-TRIDIAGONAL of S (diag + S_{c,c+1} from
+    #                   adjacent track-slot pairs; solvers/tridiag.py) —
+    #                   tt engine only; targets sequential captures where
+    #                   adjacent-camera coupling dominates.
     precond: str = "schur_jacobi"
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
@@ -212,6 +216,10 @@ def ba_solve(
         raise ValueError(
             "optimize_pp is supported by the track-table engines "
             "(ba_solve_tt / ba_solve_wtt) only"
+        )
+    if config.precond == "tridiag":
+        raise ValueError(
+            "precond='tridiag' is supported by the tt engine only"
         )
     # TPU matmuls default to bf16 inputs on the MXU; the tiny 2x8/3x3 block
     # algebra here is bandwidth-bound anyway, so force full f32 precision —

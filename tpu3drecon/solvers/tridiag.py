@@ -1,0 +1,105 @@
+"""Block-tridiagonal preconditioner: factorization + solve.
+
+Sequential captures give the reduced camera system S a block-band
+structure: S_{c,c+1} (cameras sharing tracks) dominates the off-diagonal.
+A block-tridiagonal preconditioner M = tridiag(E^T, D, E) captures that
+coupling exactly (the analog of Ceres' CLUSTER_TRIDIAGONAL with singleton
+clusters in chain order), where the tt/wtt layouts can form E_c = S_{c,c+1}
+exactly from adjacent track-slot pairs (solvers/ba_tt: track camera lists
+are strictly increasing, so cam-adjacent couplings are slot-adjacent).
+
+Factorization is a block-Cholesky Thomas sweep (lax.scan over the camera
+chain — O(C) sequential steps of (np, np) block algebra); the apply is a
+forward+backward substitution scan pair.  An SPD guard per step: if the
+pivot D_c - W^T W loses positive definiteness (the tridiagonal PART of an
+SPD matrix need not be SPD), that interface's coupling is dropped and the
+step falls back to the diagonal block — the factorization then IS the
+exact factorization of the modified (still SPD) preconditioner.
+
+No reference counterpart (the reference's linear solver is jaxopt's dense
+Cholesky: src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+class TridiagFactor(NamedTuple):
+    l_blocks: jax.Array  # (C, n, n) lower-triangular diagonal factors
+    w_blocks: jax.Array  # (C, n, n) W_c = L_c^{-1} E_c (row C-1 unused)
+    w_used: jax.Array  # (C, n, n) W_{c-1} actually used at step c (guarded)
+
+
+def tridiag_factor(d_blocks: jax.Array, e_blocks: jax.Array) -> TridiagFactor:
+    """Factor M = tridiag(E^T, D, E) as block-bidiagonal L Lt.
+
+    ``d_blocks`` (C, n, n) SPD diagonal blocks; ``e_blocks`` (C, n, n) with
+    e[c] = M[c, c+1] (the last row is ignored).  Returns the factor with
+    the per-step guard applied.
+    """
+    n = d_blocks.shape[-1]
+    dtype = d_blocks.dtype
+    w0 = jnp.zeros((n, n), dtype)
+
+    def step(w_prev, de):
+        d_c, e_c = de
+        d_eff = d_c - w_prev.T @ w_prev
+        l_c = jnp.linalg.cholesky(d_eff)
+        bad = jnp.any(jnp.isnan(l_c))
+        w_prev_eff = jnp.where(bad, jnp.zeros_like(w_prev), w_prev)
+        l_c = jnp.where(bad, jnp.linalg.cholesky(d_c), l_c)
+        w_c = solve_triangular(l_c, e_c, lower=True)
+        return w_c, (l_c, w_c, w_prev_eff)
+
+    _, (l, w, w_used) = jax.lax.scan(step, w0, (d_blocks, e_blocks))
+    return TridiagFactor(l_blocks=l, w_blocks=w, w_used=w_used)
+
+
+def tridiag_solve(factor: TridiagFactor, r: jax.Array) -> jax.Array:
+    """Solve M z = r for the factored block tridiagonal; r is (C, n)."""
+    n = r.shape[-1]
+    dtype = r.dtype
+    y0 = jnp.zeros((n,), dtype)
+
+    def fwd(y_prev, inp):
+        l_c, w_used_c, r_c = inp
+        y_c = solve_triangular(l_c, r_c - w_used_c.T @ y_prev, lower=True)
+        return y_c, y_c
+
+    _, y = jax.lax.scan(fwd, y0, (factor.l_blocks, factor.w_used, r))
+
+    def bwd(z_next, inp):
+        l_c, w_c, w_used_next, y_c = inp
+        # Interface (c, c+1) only acts if step c+1 actually used it.
+        used = jnp.any(w_used_next != 0.0)
+        w_eff = jnp.where(used, w_c, jnp.zeros_like(w_c))
+        z_c = solve_triangular(
+            l_c.T, y_c - w_eff @ z_next, lower=False
+        )
+        return z_c, z_c
+
+    # w_used at step c+1 tells whether the (c, c+1) interface survived the
+    # guard; shift it down so step c sees its own outgoing interface.
+    w_used_next = jnp.concatenate(
+        [factor.w_used[1:], jnp.zeros_like(factor.w_used[:1])]
+    )
+    _, z = jax.lax.scan(
+        bwd, y0, (factor.l_blocks, factor.w_blocks, w_used_next, y),
+        reverse=True,
+    )
+    return z
+
+
+def tridiag_matvec(d_blocks, e_blocks, x):
+    """M x for testing: (C, n, n), (C, n, n), (C, n) -> (C, n)."""
+    out = jnp.einsum("cij,cj->ci", d_blocks, x)
+    upper = jnp.einsum("cij,cj->ci", e_blocks[:-1], x[1:])
+    lower = jnp.einsum("cji,cj->ci", e_blocks[:-1], x[:-1])
+    out = out.at[:-1].add(upper)
+    out = out.at[1:].add(lower)
+    return out

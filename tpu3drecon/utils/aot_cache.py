@@ -52,18 +52,19 @@ def _backend_fingerprint() -> str:
 
 
 def lowered_fingerprint(lowered) -> str:
-    """Content hash of a jax.stages.Lowered: StableHLO bytecode + backend."""
-    from jax._src.interpreters import mlir
+    """Content hash of a jax.stages.Lowered: StableHLO text + backend.
 
+    Hashes the pretty-printed module, NOT ``module_to_bytecode``: measured
+    on the axon TPU plugin, the bytecode of a byte-identical module text
+    differs between processes (two stable variants — some unstable
+    embedded metadata), which made cache keys miss ~half the time.  The
+    text proved byte-stable across processes on both backends.
+    """
     module = lowered.compiler_ir(dialect="stablehlo")
-    try:
-        hlo_bytes = mlir.module_to_bytecode(module)
-    except Exception:
-        hlo_bytes = str(module).encode()
     h = hashlib.sha256()
     h.update(_backend_fingerprint().encode())
     h.update(b"\x00")
-    h.update(hlo_bytes)
+    h.update(str(module).encode())
     return h.hexdigest()[:32]
 
 
@@ -101,7 +102,10 @@ def cached_compile(
         if os.environ.get("TPU3DRECON_AOT_DEBUG"):
             dbg = _cache_dir(cache_dir) / f"{key}.stablehlo.txt"
             dbg.parent.mkdir(parents=True, exist_ok=True)
-            dbg.write_text(lowered.as_text())
+            dbg.write_text(
+                "// backend_fp: " + _backend_fingerprint() + "\n"
+                + str(lowered.compiler_ir(dialect="stablehlo"))
+            )
         if path.is_file():
             try:
                 import jax
