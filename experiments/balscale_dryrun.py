@@ -214,7 +214,8 @@ def main_tpu_wtt():
     wtt = commit(wtt)
 
     config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
-    solver = make_wtt_ba_solver(config)
+    aot = len(sys.argv) > 2 and sys.argv[2] == "aot"
+    solver = make_wtt_ba_solver(config, aot=aot)
     t0 = time.time()
     cams, pts, state = solver(wtt)
     jax.block_until_ready(pts)
@@ -226,7 +227,7 @@ def main_tpu_wtt():
     loss = float(jax.device_get(state.loss))
     run_s = time.time() - t0
     print(json.dumps({
-        "mode": "tpu_wtt_single_chip", "cams": int(wtt.n_cameras),
+        "mode": "tpu_wtt_single_chip", "aot": aot, "cams": int(wtt.n_cameras),
         "points": int(wtt.n_real_points), "obs": n_obs, "lm_iters": 3,
         "compile_s": round(compile_s, 1), "run_s": round(run_s, 2),
         "s_per_lm_iter": round(run_s / 3, 3),

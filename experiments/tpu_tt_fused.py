@@ -30,26 +30,33 @@ def main(reps: int = 5) -> None:
     print("backend:", jax.default_backend(), flush=True)
     flat_host = build_problem(on_host=True)
     problem = commit(tt_from_flat(flat_host))
+    problem_bits = commit(tt_from_flat(flat_host, onehot_dtype="bits"))
 
-    solvers = {
-        "xla": make_tt_ba_solver(BENCH_CONFIG),
-        "fused": make_tt_ba_solver(BENCH_CONFIG, kernels=True),
+    runs = {
+        "xla": (make_tt_ba_solver(BENCH_CONFIG), problem),
+        "fused-lin": (make_tt_ba_solver(BENCH_CONFIG, kernels=True), problem),
+        "fused-full": (
+            make_tt_ba_solver(BENCH_CONFIG, kernels="full"), problem
+        ),
+        "fused-bits": (
+            make_tt_ba_solver(BENCH_CONFIG, kernels="full"), problem_bits
+        ),
     }
     outs = {}
-    for name, solver in solvers.items():
+    for name, (solver, prob) in runs.items():
         t0 = time.perf_counter()
-        outs[name] = solver(problem)
+        outs[name] = solver(prob)
         device_sync(outs[name][2].loss)
         print(f"{name}: compile {time.perf_counter() - t0:.1f}s", flush=True)
 
-    times = {name: [] for name in solvers}
+    times = {name: [] for name in runs}
     for rep in range(reps):
-        for name, solver in solvers.items():
+        for name, (solver, prob) in runs.items():
             t0 = time.perf_counter()
-            out = solver(problem)
+            out = solver(prob)
             device_sync(out[2].loss)
             times[name].append(time.perf_counter() - t0)
-    for name in solvers:
+    for name in runs:
         ts = sorted(times[name])
         cams, pts, state = outs[name]
         rmse = float(jax.device_get(reprojection_rmse(flat_host, cams, pts)))

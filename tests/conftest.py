@@ -56,7 +56,8 @@ _SLOW_NODE_PATTERNS = (
     "test_ba_wtt.py::TestWTTSolve",
     "test_intrinsics_refine.py::test_ba_with_intrinsics_calibration",
     "test_ba_tt.py::TestTTSolveModes",
-    "test_ba_tt.py::TestTTSolveEquality::test_fused_kernels_match_xla",
+    "test_ba_tt.py::TestTTSolveModes::test_fused_kernels_match_xla",
+    "test_ba_tt.py::TestTTSolveModes::test_fully_fused_engine_matches_xla",
     "test_utils.py::TestMultiprocess::test_list_processor_parallel",
     "test_utils.py::TestCheckpoint",
     "test_packed_gather.py::test_pallas_engine_packed_equals_unpacked",

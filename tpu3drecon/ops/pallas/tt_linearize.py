@@ -44,6 +44,27 @@ from jax.experimental.pallas import tpu as pltpu
 _NB = 512
 
 
+def _expand_onehot(oh_raw, acc_t, nb: int):
+    """One-hot tile to (C, nb) in ``acc_t``.
+
+    Dense tiles (f32/bf16) just cast.  Bit-packed tiles (uint8, 8 slots per
+    byte, bit j of byte k = slot 8k+j — tt_from_flat(onehot_dtype='bits'))
+    expand in VMEM: the HBM stream is 1/16th of the bf16 form, and the
+    expansion is VPU shift/mask work that never touches HBM.
+    """
+    if oh_raw.dtype == jnp.uint8:
+        planes = [((oh_raw >> j) & 1).astype(acc_t) for j in range(8)]
+        # (C, nb//8, 8) with the bit axis minor -> row-major reshape puts
+        # slot 8k+j at column 8k+j.
+        return jnp.stack(planes, axis=-1).reshape(oh_raw.shape[0], nb)
+    return oh_raw.astype(acc_t)
+
+
+def _onehot_spec(c: int, nb: int, packed: bool, index_map):
+    width = nb // 8 if packed else nb
+    return pl.BlockSpec((c, width), index_map, memory_space=pltpu.VMEM)
+
+
 def _cam_kernel(
     table_ref,  # (C, 19) parameter table
     onehot_ref,  # (C, NB) one-hot tile (bf16 or f32)
@@ -59,13 +80,14 @@ def _cam_kernel(
     config,
     np_cam: int,
     triu,
+    nb: int,
 ):
     from tpu3drecon.solvers.ba_tt import _tt_blocks, _u_g_contribs
 
     t = pl.program_id(1)
     j = pl.program_id(0)
     acc_t = table_ref.dtype  # f32 compiled; f64 under interpret-mode tests
-    oh = onehot_ref[:, :].astype(acc_t)  # (C, NB)
+    oh = _expand_onehot(onehot_ref[:, :], acc_t, nb)  # (C, NB)
 
     # Per-slot camera parameter planes: one MXU dot replaces the HBM-wide
     # (19, slots) einsum of the XLA path.
@@ -130,13 +152,14 @@ def _coupling_kernel(
     *,
     np_cam: int,
     triu,
+    nb: int,
 ):
     from tpu3drecon.solvers.ba_tt import _coupling_contribs
 
     t = pl.program_id(1)
     j = pl.program_id(0)
     acc_t = jp_ref.dtype
-    oh = onehot_ref[:, :].astype(acc_t)
+    oh = _expand_onehot(onehot_ref[:, :], acc_t, nb)
     jc = jc_ref[:, :]
     jp = jp_ref[:, :]
     v = [vinv_ref[i, :] for i in range(6)]
@@ -190,8 +213,9 @@ def tt_cam_normal_fused(
     jb = pb // nb
     dtype = pts.dtype
 
+    packed = onehot.dtype == jnp.uint8
     kernel = functools.partial(
-        _cam_kernel, config=config, np_cam=np_cam, triu=triu
+        _cam_kernel, config=config, np_cam=np_cam, triu=triu, nb=nb
     )
     flat = lambda j, t: (0, t * jb + j)  # noqa: E731 — flat slot tile index
     jc, jp, pt_acc, cam_acc = pl.pallas_call(
@@ -199,7 +223,7 @@ def tt_cam_normal_fused(
         grid=(jb, tb),
         in_specs=[
             pl.BlockSpec((c, 19), lambda j, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, nb), flat, memory_space=pltpu.VMEM),
+            _onehot_spec(c, nb, packed, flat),
             pl.BlockSpec((3, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, nb), flat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), flat, memory_space=pltpu.VMEM),
@@ -259,13 +283,16 @@ def tt_coupling_fused(
     jb = pb // nb
     dtype = jp.dtype
 
-    kernel = functools.partial(_coupling_kernel, np_cam=np_cam, triu=triu)
+    packed = onehot.dtype == jnp.uint8
+    kernel = functools.partial(
+        _coupling_kernel, np_cam=np_cam, triu=triu, nb=nb
+    )
     flat = lambda j, t: (0, t * jb + j)  # noqa: E731
     coup = pl.pallas_call(
         kernel,
         grid=(jb, tb),
         in_specs=[
-            pl.BlockSpec((c, nb), flat, memory_space=pltpu.VMEM),
+            _onehot_spec(c, nb, packed, flat),
             pl.BlockSpec((2 * np_cam, nb), flat, memory_space=pltpu.VMEM),
             pl.BlockSpec((6, nb), flat, memory_space=pltpu.VMEM),
             pl.BlockSpec((6, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
@@ -282,3 +309,218 @@ def tt_coupling_fused(
         v_inv,
     )
     return coup.T  # (C, n_triu)
+
+
+def _wt_kernel(x_ref, onehot_ref, jc_ref, jp_ref, wtx_ref, *, np_cam, nb):
+    """(W^T x) partial: xg via MXU dot, jp-weighted reduction over t."""
+    t = pl.program_id(1)
+    acc_t = x_ref.dtype
+    oh = _expand_onehot(onehot_ref[:, :], acc_t, nb)
+    xg = jax.lax.dot_general(
+        x_ref[:, :], oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t,
+    )  # (np, nb)
+    jc = jc_ref[:, :]
+    jp = jp_ref[:, :]
+    s0 = sum(jc[i] * xg[i] for i in range(np_cam))
+    s1 = sum(jc[np_cam + i] * xg[i] for i in range(np_cam))
+    part = jnp.stack(
+        [jp[l] * s0 + jp[3 + l] * s1 for l in range(3)]
+    )  # (3, nb)
+
+    @pl.when(t == 0)
+    def _():
+        wtx_ref[:, :] = part
+
+    @pl.when(t != 0)
+    def _():
+        wtx_ref[:, :] = wtx_ref[:, :] + part
+
+
+def _w_kernel(y_ref, onehot_ref, jc_ref, jp_ref, out_ref, *, np_cam, nb):
+    """(W y) partial: slot planes then one-hot reduce to cameras."""
+    t = pl.program_id(1)
+    j = pl.program_id(0)
+    acc_t = y_ref.dtype
+    oh = _expand_onehot(onehot_ref[:, :], acc_t, nb)
+    y = y_ref[:, :]  # (3, nb) point planes (same point cols for every t)
+    jc = jc_ref[:, :]
+    jp = jp_ref[:, :]
+    s0 = jp[0] * y[0] + jp[1] * y[1] + jp[2] * y[2]
+    s1 = jp[3] * y[0] + jp[4] * y[1] + jp[5] * y[2]
+    z = jnp.stack(
+        [jc[i] * s0 + jc[np_cam + i] * s1 for i in range(np_cam)]
+    )  # (np, nb)
+    part = jax.lax.dot_general(
+        z, oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t,
+    )  # (np, C)
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(jnp.logical_or(t != 0, j != 0))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
+
+
+def _cost_kernel(
+    table_ref, onehot_ref, pts_ref, uv_ref, mask_ref, invw_ref, out_ref,
+    *, config, nb,
+):
+    """Per-lane partial of the robust whitened cost (sum over t)."""
+    from tpu3drecon.solvers.ba_tt import _tt_blocks
+
+    t = pl.program_id(1)
+    acc_t = table_ref.dtype
+    oh = _expand_onehot(onehot_ref[:, :], acc_t, nb)
+    cp = jax.lax.dot_general(
+        table_ref[:, :], oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t,
+    )
+    blocks = _tt_blocks(
+        cp[:, None, :], pts_ref[:, :], uv_ref[:, :][:, None, :],
+        mask_ref[:, :], invw_ref[0, 0], config,
+    )
+    r = blocks.r[:, 0, :]  # whitened residual planes: cost = 0.5 sum r^2
+    part = (r[0] * r[0] + r[1] * r[1])[None, :]
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(t != 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
+
+
+def _bucket_grid(pb: int):
+    nb = min(_NB, pb)
+    assert pb % nb == 0, (pb, nb)
+    return nb, pb // nb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_cam", "tb", "pb", "interpret")
+)
+def tt_wt_times_fused(
+    x: jax.Array,  # (C, np)
+    onehot: jax.Array,
+    jc: jax.Array,  # (2np, Tb, Pb)
+    jp: jax.Array,  # (6, Tb, Pb)
+    np_cam: int,
+    tb: int,
+    pb: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(W^T x) point planes (3, Pb) for one bucket, fused."""
+    c = x.shape[0]
+    nb, jb = _bucket_grid(pb)
+    dtype = x.dtype
+    packed = onehot.dtype == jnp.uint8
+    flat = lambda j, t: (0, t * jb + j)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_wt_kernel, np_cam=np_cam, nb=nb),
+        grid=(jb, tb),
+        in_specs=[
+            pl.BlockSpec((c, np_cam), lambda j, t: (0, 0), memory_space=pltpu.VMEM),
+            _onehot_spec(c, nb, packed, flat),
+            pl.BlockSpec((2 * np_cam, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nb), flat, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, pb), dtype),
+        interpret=interpret,
+    )(
+        x,
+        onehot,
+        jc.reshape(2 * np_cam, tb * pb),
+        jp.reshape(6, tb * pb),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_cam", "tb", "pb", "interpret")
+)
+def tt_w_times_fused(
+    y: jax.Array,  # (3, Pb) point planes
+    onehot: jax.Array,
+    jc: jax.Array,  # (2np, Tb, Pb)
+    jp: jax.Array,  # (6, Tb, Pb)
+    np_cam: int,
+    tb: int,
+    pb: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(W y) camera rows (C, np) for one bucket, fused."""
+    c = onehot.shape[0]
+    nb, jb = _bucket_grid(pb)
+    dtype = y.dtype
+    packed = onehot.dtype == jnp.uint8
+    flat = lambda j, t: (0, t * jb + j)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_w_kernel, np_cam=np_cam, nb=nb),
+        grid=(jb, tb),
+        in_specs=[
+            pl.BlockSpec((3, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+            _onehot_spec(c, nb, packed, flat),
+            pl.BlockSpec((2 * np_cam, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, nb), flat, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (np_cam, c), lambda j, t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((np_cam, c), dtype),
+        interpret=interpret,
+    )(y, onehot, jc.reshape(2 * np_cam, tb * pb), jp.reshape(6, tb * pb))
+    return out.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "tb", "pb", "interpret")
+)
+def tt_cost_fused(
+    table: jax.Array,  # (C, 19)
+    onehot: jax.Array,
+    pts: jax.Array,  # (3, Pb)
+    uv: jax.Array,  # (2, Tb, Pb)
+    mask: jax.Array,  # (Tb, Pb)
+    inv_w: jax.Array,  # ()
+    config,
+    tb: int,
+    pb: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """0.5 * sum(whitened r^2) for one bucket, fused (returns a scalar)."""
+    c = table.shape[0]
+    nb, jb = _bucket_grid(pb)
+    dtype = pts.dtype
+    packed = onehot.dtype == jnp.uint8
+    flat = lambda j, t: (0, t * jb + j)  # noqa: E731
+    lane = pl.pallas_call(
+        functools.partial(_cost_kernel, config=config, nb=nb),
+        grid=(jb, tb),
+        in_specs=[
+            pl.BlockSpec((c, 19), lambda j, t: (0, 0), memory_space=pltpu.VMEM),
+            _onehot_spec(c, nb, packed, flat),
+            pl.BlockSpec((3, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nb), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, pb), dtype),
+        interpret=interpret,
+    )(
+        table,
+        onehot,
+        pts,
+        uv.reshape(2, tb * pb),
+        mask.reshape(1, tb * pb),
+        inv_w.astype(dtype).reshape(1, 1),
+    )
+    return 0.5 * jnp.sum(lane)

@@ -113,7 +113,16 @@ def tt_from_flat(
     convert fuses into the matmul operand read), and the dominant HBM
     stream halves — measured 1.3-1.55x on the contraction kernels
     (experiments/tpu_bf16_onehot.py) with bit-identical results.
+
+    ``onehot_dtype="bits"`` packs the one-hot 8 slots/byte (uint8, bit j of
+    byte k = slot 8k+j — numpy packbits little-endian): a further 16x cut
+    of the dominant HBM stream.  Bit-packed problems REQUIRE the
+    fully-fused Pallas engine (``ba_solve_tt(kernels="full")``), which
+    expands tiles in VMEM; the XLA einsum paths reject them loudly.
     """
+    bit_pack = onehot_dtype == "bits"
+    if bit_pack:
+        onehot_dtype = None
     g = grid_bucketed_from_flat(problem, bounds=bounds, point_block=point_block)
     guv = np.asarray(jax.device_get(g.uv))
     C, K = guv.shape[:2]
@@ -128,6 +137,8 @@ def tt_from_flat(
 
     oh_dtype = _jnp.bfloat16 if onehot_dtype is None else onehot_dtype
     onehot_bytes = C * total_slots * _jnp.dtype(oh_dtype).itemsize
+    if bit_pack:
+        onehot_bytes //= 16
     if onehot_bytes > max_onehot_bytes:
         raise ValueError(
             f"track-table one-hot would be {onehot_bytes / 1e9:.2f} GB "
@@ -153,12 +164,19 @@ def tt_from_flat(
         flat_mask = mask_planes.reshape(n)
         real = np.nonzero(flat_mask > 0)[0]
         onehot[flat_cam[real], real] = 1.0
+        if bit_pack:
+            assert n % 8 == 0, n
+            oh_arr = jnp.asarray(
+                np.packbits(onehot.astype(bool), axis=1, bitorder="little")
+            )
+        else:
+            oh_arr = jnp.asarray(onehot, oh_dtype)
         buckets.append(
             TTBucket(
                 uv=jnp.asarray(uv_planes),
                 mask=jnp.asarray(mask_planes),
                 cam_ids=jnp.asarray(cam_planes),
-                onehot=jnp.asarray(onehot, oh_dtype),
+                onehot=oh_arr,
             )
         )
         offsets.append(off)

@@ -64,6 +64,11 @@ def _flat_onehot(bucket: TTBucket) -> jax.Array:
     PartitionSpec) and pays one reshape per use inside shard_map, where the
     operand is the device-local shard.
     """
+    if bucket.onehot.dtype == jnp.uint8:
+        raise ValueError(
+            "bit-packed one-hot (tt_from_flat(onehot_dtype='bits')) requires "
+            "the fully-fused engine: ba_solve_tt(..., kernels='full')"
+        )
     if bucket.onehot.ndim == 2:
         return bucket.onehot
     return bucket.onehot.reshape(bucket.onehot.shape[0], -1)
@@ -343,11 +348,47 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
-def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem, axis_name=None):
+def _fused_wt(bn, x, bucket, interpret):
+    from tpu3drecon.ops.pallas.tt_linearize import tt_wt_times_fused
+
+    tb, pb = bucket.mask.shape
+    return tt_wt_times_fused(
+        x, _kernel_onehot(bucket), bn.jc, bn.jp, bn.jc.shape[0] // 2, tb, pb,
+        interpret=interpret,
+    )
+
+
+def _fused_w(bn, y, bucket, interpret):
+    from tpu3drecon.ops.pallas.tt_linearize import tt_w_times_fused
+
+    tb, pb = bucket.mask.shape
+    return tt_w_times_fused(
+        y, _kernel_onehot(bucket), bn.jc, bn.jp, bn.jc.shape[0] // 2, tb, pb,
+        interpret=interpret,
+    )
+
+
+def _kernel_onehot(bucket) -> jax.Array:
+    """One-hot in the 2-D form the fused kernels take (dense or packed)."""
+    oh = bucket.onehot
+    return oh if oh.ndim == 2 else oh.reshape(oh.shape[0], -1)
+
+
+def _schur_matvec(nb: TTNormal, x_cam: jax.Array, problem, axis_name=None,
+                  kernels=False, interpret=False):
+    full = kernels == "full"
     coup = jnp.zeros_like(x_cam)
     for bn, bucket in zip(nb.buckets, problem.buckets):
-        wtx = _wt_times_bucket(bn, x_cam, bucket)
-        coup = coup + _w_times_bucket(bn, _sym3_matvec(bn.v_inv, wtx), bucket)
+        if full:
+            wtx = _fused_wt(bn, x_cam, bucket, interpret)
+            coup = coup + _fused_w(
+                bn, _sym3_matvec(bn.v_inv, wtx), bucket, interpret
+            )
+        else:
+            wtx = _wt_times_bucket(bn, x_cam, bucket)
+            coup = coup + _w_times_bucket(
+                bn, _sym3_matvec(bn.v_inv, wtx), bucket
+            )
     return jnp.einsum("cij,cj->ci", nb.u, x_cam) - _psum(coup, axis_name)
 
 
@@ -386,7 +427,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
         tb, pb = bucket.mask.shape
         if kernels:
             jc, jp, v6, g_pt, ug = tt_cam_normal_fused(
-                table, _flat_onehot(bucket), pts, bucket.uv, bucket.mask,
+                table, _kernel_onehot(bucket), pts, bucket.uv, bucket.mask,
                 inv_w, kcfg, np_cam, tb, pb, interpret=interpret,
             )
             dv = jnp.clip(v6[jnp.asarray([0, 3, 5])], 1e-8, None)
@@ -397,7 +438,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
             g_cols = g_cols + ug[:, n_triu:]
             if config.precond == "schur_jacobi":
                 coup_cols = coup_cols + tt_coupling_fused(
-                    _flat_onehot(bucket), jc, jp, v_inv, np_cam, tb, pb,
+                    _kernel_onehot(bucket), jc, jp, v_inv, np_cam, tb, pb,
                     interpret=interpret,
                 )
             bucket_normals.append(
@@ -491,7 +532,8 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     )
 
 
-def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
+def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None,
+         kernels=False, interpret=False):
     """PCG on the reduced camera system (shared core: solvers/pcg.py).
 
     Under sharding the CG state (x, r, z, p) is replicated — only the
@@ -505,19 +547,37 @@ def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None):
     else:
         precond = cho_block_precond(nb.u_chol)
     out = pcg(
-        lambda p: _schur_matvec(nb, p, problem, axis_name),
+        lambda p: _schur_matvec(nb, p, problem, axis_name, kernels, interpret),
         precond,
         b, maxiter, rtol,
     )
     return out.x, out.iters
 
 
-def _cost(params, problem, config: BAConfig, axis_name=None) -> jax.Array:
+def _cost(params, problem, config: BAConfig, axis_name=None, kernels=False,
+          interpret=False) -> jax.Array:
     rmats, tvecs, fx_fy, dist, ccs, pts_list = params
     dtype = pts_list[0].dtype
     table = _cam_table(rmats, tvecs, fx_fy, ccs, dist)
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
     total = jnp.zeros((), dtype)
+    if kernels == "full":
+        from tpu3drecon.ops.pallas.tt_linearize import tt_cost_fused
+
+        kcfg = BAConfig(
+            loss=config.loss,
+            optimize_focal=config.optimize_focal,
+            optimize_points=config.optimize_points,
+            optimize_dist=config.optimize_dist,
+            optimize_pp=config.optimize_pp,
+        )
+        for bucket, pts in zip(problem.buckets, pts_list):
+            tb, pb = bucket.mask.shape
+            total = total + tt_cost_fused(
+                table, _kernel_onehot(bucket), pts, bucket.uv, bucket.mask,
+                inv_w, kcfg, tb, pb, interpret=interpret,
+            )
+        return _psum(total, axis_name)
     for bucket, pts in zip(problem.buckets, pts_list):
         cp = _cam_planes(table, bucket)
         x = cp[0] * pts[0][None] + cp[1] * pts[1][None] + cp[2] * pts[2][None] + cp[9]
@@ -606,18 +666,27 @@ def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None,
             pmax(gp_max) if config.optimize_points else 0.0,
         )
 
+        full = kernels == "full"
         b = jnp.zeros_like(nb.g_cam)
         for bn, bucket in zip(nb.buckets, problem.buckets):
-            b = b + _w_times_bucket(bn, _sym3_matvec(bn.v_inv, bn.g_pt), bucket)
+            vw = _sym3_matvec(bn.v_inv, bn.g_pt)
+            b = b + (
+                _fused_w(bn, vw, bucket, interpret) if full
+                else _w_times_bucket(bn, vw, bucket)
+            )
         b = _psum(b, axis_name) - nb.g_cam
         dc, cg_iters = _pcg(
-            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name
+            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name,
+            kernels=kernels, interpret=interpret,
         )
 
         dps = []
         pred_pt = jnp.zeros((), dtype)
         for bn, bucket in zip(nb.buckets, problem.buckets):
-            wtx = _wt_times_bucket(bn, dc, bucket)
+            wtx = (
+                _fused_wt(bn, dc, bucket, interpret) if full
+                else _wt_times_bucket(bn, dc, bucket)
+            )
             dp = _sym3_matvec(bn.v_inv, -bn.g_pt - wtx)  # (3, Pb)
             if not config.optimize_points:
                 dp = dp * 0.0
@@ -647,7 +716,8 @@ def _ba_solve_tt_core(problem, pts_list, config: BAConfig, axis_name=None,
         return (new_r, new_t, new_f, new_d, new_c, new_pts)
 
     cost = functools.partial(
-        _cost, problem=problem, config=config, axis_name=axis_name
+        _cost, problem=problem, config=config, axis_name=axis_name,
+        kernels=kernels, interpret=interpret,
     )
     final = trust_region_solve(propose, apply_step, cost, params0, config, dtype)
     rmats, tvecs, fx_fy, dist, ccs, pts_out = final.params

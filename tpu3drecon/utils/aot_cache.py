@@ -162,7 +162,7 @@ def cached_compile(
     return compiled
 
 
-def aot_wrap(jitfn, cache_dir=None, verbose: bool = False) -> Callable:
+def aot_wrap(jitfn, cache_dir=None, verbose: Optional[bool] = None) -> Callable:
     """Wrap a jitted function so each argument-shape signature compiles
     through the persistent AOT cache (memoized in-process).
 
@@ -172,6 +172,8 @@ def aot_wrap(jitfn, cache_dir=None, verbose: bool = False) -> Callable:
     """
     import jax
 
+    if verbose is None:
+        verbose = bool(os.environ.get("TPU3DRECON_AOT_VERBOSE"))
     memo = {}
 
     def call(*args):
