@@ -170,7 +170,7 @@ def main_cpu8_wtt():
     }), flush=True)
 
 
-def main_tpu_wtt():
+def main_tpu_wtt(shuffled: bool = False):
     import jax
 
     from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
@@ -179,6 +179,8 @@ def main_tpu_wtt():
 
     enable_compilation_cache()
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import numpy as np
+
         import jax.numpy as jnp
 
         from tpu3drecon.dataset.synthetic import (
@@ -194,24 +196,92 @@ def main_tpu_wtt():
         )
         noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
         flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-        wtt = wtt_from_flat(flat, point_chunk=512)
+        if shuffled:
+            # Photo-tourism-style camera labeling (VERDICT #2): random ids
+            # destroy window locality; the auto RCM relabeling pass inside
+            # wtt_from_flat must recover it.
+            from tpu3drecon.problems.reorder import permute_cameras_flat
+
+            rng = np.random.default_rng(99)
+            relabel = rng.permutation(flat.n_cameras)  # perm[new] = old
+            flat = permute_cameras_flat(flat, relabel)
+        wtt = wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
+        if shuffled:
+            assert wtt.cam_rows is not None, "RCM relabeling did not trigger"
         n_obs = int(sum(float(b.mask.sum()) for b in wtt.buckets))
         shapes = [
             (tuple(b.uv.shape), int(b.window)) for b in wtt.buckets
         ]
-        onehot_gb = sum(
-            b.onehot.size * b.onehot.dtype.itemsize for b in wtt.buckets
-        ) / 1e9
+        compact_mb = sum(
+            b.wcam.size * b.wcam.dtype.itemsize for b in wtt.buckets
+        ) / 1e6
+        build_s = time.time() - t0
         print(
-            f"built sequential BAL-class problem in {time.time()-t0:.0f}s: "
+            f"built sequential BAL-class problem in {build_s:.0f}s: "
             f"{wtt.n_cameras} cams (c_pad {wtt.c_pad}), "
             f"{wtt.n_real_points} real points, {n_obs} obs, "
-            f"buckets (uv shape, window)={shapes}, one-hots {onehot_gb:.2f} GB",
+            f"buckets (uv shape, window)={shapes}, "
+            f"compact one-hots {compact_mb:.0f} MB",
             flush=True,
         )
+    from tpu3drecon.problems.wtt import expand_onehots
     from tpu3drecon.utils.placement import commit
 
+    t0 = time.time()
     wtt = commit(wtt)
+    jax.block_until_ready(wtt.buckets[0].uv)
+    transfer_s = time.time() - t0
+    t0 = time.time()
+    wtt = expand_onehots(wtt)
+    jax.block_until_ready(wtt.buckets[-1].onehot)
+    expand_s = time.time() - t0
+    onehot_gb = sum(
+        b.onehot.size * b.onehot.dtype.itemsize for b in wtt.buckets
+    ) / 1e9
+    print(
+        f"transfer {transfer_s:.1f}s, device one-hot expansion {expand_s:.1f}s "
+        f"({onehot_gb:.2f} GB resident)",
+        flush=True,
+    )
+
+    if len(sys.argv) > 2 and sys.argv[2] == "precond":
+        # Interleaved A/B (VERDICT #4): schur_jacobi vs block-tridiagonal
+        # preconditioner at BAL scale on sequential data, equal-work solves.
+        import numpy as _np
+
+        outs = {}
+        for name in ("schur_jacobi", "tridiag"):
+            # CG to TOLERANCE (not a fixed budget) so preconditioner
+            # quality shows up as wall time + iteration count.
+            cfg = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=30,
+                           cg_rtol=1e-6, precond=name)
+            solver = make_wtt_ba_solver(cfg, aot=True)
+            t0 = time.time()
+            out = solver(wtt)
+            jax.device_get(out[2].loss)
+            print(f"{name}: compile {time.time()-t0:.1f}s", flush=True)
+            outs[name] = solver
+        times = {name: [] for name in outs}
+        final = {}
+        for _ in range(4):
+            for name, solver in outs.items():
+                t0 = time.time()
+                out = solver(wtt)
+                jax.device_get(out[2].loss)
+                times[name].append(time.time() - t0)
+                final[name] = out
+        for name in outs:
+            ts = sorted(times[name])
+            st = final[name][2]
+            print(json.dumps({
+                "mode": "tpu_wtt_precond", "precond": name,
+                "best_s": round(ts[0], 3), "median_s": round(ts[len(ts)//2], 3),
+                "s_per_lm_iter": round(ts[0] / 3, 3),
+                "loss": float(jax.device_get(st.loss)),
+                "cg_iters": int(jax.device_get(st.cg_iters)),
+                "accepted": int(jax.device_get(st.accepted)),
+            }), flush=True)
+        return
 
     config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
     aot = len(sys.argv) > 2 and sys.argv[2] == "aot"
@@ -227,8 +297,11 @@ def main_tpu_wtt():
     loss = float(jax.device_get(state.loss))
     run_s = time.time() - t0
     print(json.dumps({
-        "mode": "tpu_wtt_single_chip", "aot": aot, "cams": int(wtt.n_cameras),
+        "mode": "tpu_wtt_shuffled" if shuffled else "tpu_wtt_single_chip",
+        "aot": aot, "cams": int(wtt.n_cameras),
         "points": int(wtt.n_real_points), "obs": n_obs, "lm_iters": 3,
+        "build_s": round(build_s, 1), "transfer_s": round(transfer_s, 1),
+        "expand_s": round(expand_s, 1),
         "compile_s": round(compile_s, 1), "run_s": round(run_s, 2),
         "s_per_lm_iter": round(run_s / 3, 3),
         "loss": loss, "finite": loss == loss,
@@ -244,5 +317,7 @@ if __name__ == "__main__":
         main_cpu8_wtt()
     elif mode == "tpu_wtt":
         main_tpu_wtt()
+    elif mode == "tpu_wtt_shuffled":
+        main_tpu_wtt(shuffled=True)
     else:
         main_tpu()

@@ -30,7 +30,11 @@ def main(reps: int = 5) -> None:
     print("backend:", jax.default_backend(), flush=True)
     flat_host = build_problem(on_host=True)
     problem = commit(tt_from_flat(flat_host))
-    problem_bits = commit(tt_from_flat(flat_host, onehot_dtype="bits"))
+    # Bit-packed tiles are (C, nb // 8) uint8 blocks; Mosaic wants 128-lane
+    # minors, so the packed layout needs 1024-slot point blocks.
+    problem_bits = commit(
+        tt_from_flat(flat_host, onehot_dtype="bits", point_block=1024)
+    )
 
     runs = {
         "xla": (make_tt_ba_solver(BENCH_CONFIG), problem),

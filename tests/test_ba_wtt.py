@@ -232,3 +232,49 @@ class TestWTTSolve:
         assert s1 is s2
         cams, pts, state = s1(wtt_problem)
         assert bool(jnp.isfinite(state.loss))
+
+
+class TestDeferredOnehot:
+    def test_expand_matches_direct_pack(self, seq_problem):
+        from tpu3drecon.problems.wtt import expand_onehots
+
+        direct = wtt_from_flat(seq_problem, point_chunk=64)
+        deferred = wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True)
+        for b in deferred.buckets:
+            assert b.onehot is None
+            assert b.wcam.dtype == jnp.int16
+        expanded = expand_onehots(deferred, onehot_dtype=jnp.float64)
+        for bd, be in zip(direct.buckets, expanded.buckets):
+            assert be.wcam is None
+            np.testing.assert_array_equal(
+                np.asarray(be.onehot, np.float64),
+                np.asarray(bd.onehot, np.float64),
+            )
+
+    def test_compact_is_small(self, seq_problem):
+        deferred = wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True)
+        direct = wtt_from_flat(seq_problem, point_chunk=64)
+        compact = sum(b.wcam.size * b.wcam.dtype.itemsize for b in deferred.buckets)
+        dense = sum(b.onehot.size * b.onehot.dtype.itemsize for b in direct.buckets)
+        assert compact * 8 <= dense  # >= 8x smaller host->device stream
+
+    def test_engine_rejects_deferred(self, seq_problem):
+        deferred = wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True)
+        with pytest.raises(ValueError, match="expand_onehots"):
+            ba_solve_wtt(deferred, BAConfig(maxiter=1))
+
+    def test_solve_equality_via_deferred(self, seq_problem, wtt_problem):
+        from tpu3drecon.problems.wtt import expand_onehots
+
+        config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=12,
+                          cg_rtol=1e-10)
+        expanded = expand_onehots(
+            wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True),
+            onehot_dtype=jnp.float64,
+        )
+        cams_a, pts_a, st_a = ba_solve_wtt(wtt_problem, config)
+        cams_b, pts_b, st_b = ba_solve_wtt(expanded, config)
+        np.testing.assert_allclose(
+            np.asarray(pts_a), np.asarray(pts_b), rtol=0, atol=1e-12
+        )
+        assert float(st_a.loss) == pytest.approx(float(st_b.loss), rel=1e-12)

@@ -146,3 +146,90 @@ class TestTTTridiag:
 
         with pytest.raises(ValueError, match="tridiag"):
             ba_solve(flat, BAConfig(precond="tridiag"))
+
+
+class TestSegmented:
+    def test_segmented_matches_block_jacobi_of_segments(self):
+        # segments=S must equal the exact solve of the matrix with the
+        # boundary interfaces dropped.
+        rng = np.random.default_rng(7)
+        C, n, S = 12, 4, 3
+        d, e, _ = _random_block_tridiag(rng, C, n)
+        L = C // S
+        e_dropped = e.copy()
+        for s in range(S):
+            e_dropped[s * L + L - 1] = 0.0
+        _, _, M_dropped = _rebuild_dense(d, e_dropped)
+        r = rng.normal(size=(C, n))
+        f = tridiag_factor(jnp.asarray(d), jnp.asarray(e), segments=S)
+        z = np.asarray(tridiag_solve(f, jnp.asarray(r), segments=S))
+        z_ref = np.linalg.solve(M_dropped, r.reshape(-1)).reshape(C, n)
+        np.testing.assert_allclose(z, z_ref, rtol=1e-9, atol=1e-11)
+
+    def test_auto_segments(self):
+        from tpu3drecon.solvers.tridiag import auto_segments
+
+        assert auto_segments(100) == 1
+        assert auto_segments(128) == 1  # < 2 segments' worth
+        assert auto_segments(256) == 2
+        assert auto_segments(1792) == 14
+        assert auto_segments(130) == 1  # not divisible
+
+
+def _rebuild_dense(d, e):
+    C, n, _ = d.shape
+    M = np.zeros((C * n, C * n))
+    for c in range(C):
+        M[c * n : (c + 1) * n, c * n : (c + 1) * n] = d[c]
+        if c + 1 < C:
+            M[c * n : (c + 1) * n, (c + 1) * n : (c + 2) * n] = e[c]
+            M[(c + 1) * n : (c + 2) * n, c * n : (c + 1) * n] = e[c].T
+    return d, e, M
+
+
+class TestWTTTridiag:
+    @pytest.fixture(scope="class")
+    def seq_wtt(self):
+        from tpu3drecon.problems.wtt import wtt_from_flat
+
+        scene = make_sequential_scene(
+            n_cameras=16, points_per_camera=24, track_span=3, seed=11
+        )
+        flat, _ = scene_to_ba_problem(scene, observed=scene, dtype=jnp.float64)
+        return flat, wtt_from_flat(flat, point_chunk=64)
+
+    def test_wtt_matches_tt_trajectory(self, seq_tt, seq_wtt):
+        # Same scene, same tridiag config: the wtt engine's windowed pair
+        # one-hot must reproduce the tt engine's E blocks, hence the same
+        # trust-region trajectory.
+        from tpu3drecon.solvers.ba_wtt import ba_solve_wtt
+
+        flat, tt = seq_tt
+        _, wtt = seq_wtt
+        config = BAConfig(
+            precond="tridiag", maxiter=6, gtol=0.0, ftol=0.0,
+            cg_maxiter=30, cg_rtol=1e-10,
+        )
+        cams_t, pts_t, st_t = ba_solve_tt(tt, config)
+        cams_w, pts_w, st_w = ba_solve_wtt(wtt, config)
+        np.testing.assert_allclose(
+            np.asarray(pts_t), np.asarray(pts_w), rtol=0, atol=1e-9
+        )
+        assert float(st_t.loss) == pytest.approx(float(st_w.loss), rel=1e-10)
+
+    def test_wtt_tridiag_cg_iters(self, seq_wtt):
+        from tpu3drecon.solvers.ba_wtt import ba_solve_wtt
+
+        flat, wtt = seq_wtt
+        base = dict(maxiter=12, gtol=0.0, ftol=0.0, cg_maxiter=50,
+                    cg_rtol=1e-10)
+        cams_a, pts_a, st_a = ba_solve_wtt(
+            wtt, BAConfig(precond="schur_jacobi", **base)
+        )
+        cams_b, pts_b, st_b = ba_solve_wtt(
+            wtt, BAConfig(precond="tridiag", **base)
+        )
+        rmse_a = float(reprojection_rmse(flat, cams_a, pts_a))
+        rmse_b = float(reprojection_rmse(flat, cams_b, pts_b))
+        assert rmse_b < max(2 * rmse_a, 1e-6)
+        assert int(st_b.cg_iters) <= int(st_a.cg_iters)

@@ -48,21 +48,55 @@ def _expand_onehot(oh_raw, acc_t, nb: int):
     """One-hot tile to (C, nb) in ``acc_t``.
 
     Dense tiles (f32/bf16) just cast.  Bit-packed tiles (uint8, 8 slots per
-    byte, bit j of byte k = slot 8k+j — tt_from_flat(onehot_dtype='bits'))
+    byte in bit-plane-within-tile order — tt_from_flat(onehot_dtype='bits'))
     expand in VMEM: the HBM stream is 1/16th of the bf16 form, and the
     expansion is VPU shift/mask work that never touches HBM.
     """
     if oh_raw.dtype == jnp.uint8:
-        planes = [((oh_raw >> j) & 1).astype(acc_t) for j in range(8)]
-        # (C, nb//8, 8) with the bit axis minor -> row-major reshape puts
-        # slot 8k+j at column 8k+j.
-        return jnp.stack(planes, axis=-1).reshape(oh_raw.shape[0], nb)
+        # Mosaic has no direct uint8 -> float cast (widen to int32 first)
+        # and cannot shape-cast a minor-axis expansion, so the packer emits
+        # bit-plane-within-tile order (problems/tt.py): plane j of the tile
+        # is bit j of every byte, and lane-axis concatenation — which this
+        # Mosaic version does lower — reassembles the (C, nb) tile.
+        wide = oh_raw.astype(jnp.int32)
+        planes = [((wide >> j) & 1).astype(acc_t) for j in range(8)]
+        return jnp.concatenate(planes, axis=-1)
     return oh_raw.astype(acc_t)
 
 
 def _onehot_spec(c: int, nb: int, packed: bool, index_map):
     width = nb // 8 if packed else nb
     return pl.BlockSpec((c, width), index_map, memory_space=pltpu.VMEM)
+
+
+def _lane_block(pb: int, packed: bool, interpret: bool = False):
+    """Lane-block width ``nb`` and grid extent ``jb`` for a bucket.
+
+    Bit-packed one-hot tiles are (C, nb // 8) uint8 blocks; the Pallas TPU
+    lowering requires the minor block dim to be divisible by 128, so packed
+    mode needs nb = 1024 (128 uint8 lanes).  Dense tiles use _NB.  The
+    constraint is a Mosaic lowering rule, so interpret mode (CPU emulation
+    in tests) skips it.
+    """
+    if packed:
+        # Must mirror the packer's tile choice (problems/tt.py bit_pack):
+        # the bit-plane-within-tile format is only aligned when the kernel
+        # lane block equals the pack-time tile.
+        if pb % 1024 == 0:
+            nb = 1024
+        elif interpret:
+            nb = pb
+        else:
+            raise ValueError(
+                "bit-packed one-hots need a 1024-slot lane block (128 uint8 "
+                f"lanes) but the bucket point padding {pb} is not a multiple "
+                "of 1024; repack with tt_from_flat(point_block=1024) or use "
+                "a dense onehot_dtype"
+            )
+    else:
+        nb = min(_NB, pb)
+    assert pb % nb == 0, (pb, nb)
+    return nb, pb // nb
 
 
 def _cam_kernel(
@@ -208,12 +242,10 @@ def tt_cam_normal_fused(
     triu = tuple(_triu_pairs(np_cam))
     n_triu = len(triu)
     cols = n_triu + np_cam
-    nb = min(_NB, pb)
-    assert pb % nb == 0, (pb, nb)
-    jb = pb // nb
+    packed = onehot.dtype == jnp.uint8
+    nb, jb = _lane_block(pb, packed, interpret)
     dtype = pts.dtype
 
-    packed = onehot.dtype == jnp.uint8
     kernel = functools.partial(
         _cam_kernel, config=config, np_cam=np_cam, triu=triu, nb=nb
     )
@@ -278,12 +310,10 @@ def tt_coupling_fused(
     c = onehot.shape[0]
     triu = tuple(_triu_pairs(np_cam))
     n_triu = len(triu)
-    nb = min(_NB, pb)
-    assert pb % nb == 0, (pb, nb)
-    jb = pb // nb
+    packed = onehot.dtype == jnp.uint8
+    nb, jb = _lane_block(pb, packed, interpret)
     dtype = jp.dtype
 
-    packed = onehot.dtype == jnp.uint8
     kernel = functools.partial(
         _coupling_kernel, np_cam=np_cam, triu=triu, nb=nb
     )
@@ -398,10 +428,6 @@ def _cost_kernel(
         out_ref[:, :] = out_ref[:, :] + part
 
 
-def _bucket_grid(pb: int):
-    nb = min(_NB, pb)
-    assert pb % nb == 0, (pb, nb)
-    return nb, pb // nb
 
 
 @functools.partial(
@@ -419,9 +445,9 @@ def tt_wt_times_fused(
 ) -> jax.Array:
     """(W^T x) point planes (3, Pb) for one bucket, fused."""
     c = x.shape[0]
-    nb, jb = _bucket_grid(pb)
-    dtype = x.dtype
     packed = onehot.dtype == jnp.uint8
+    nb, jb = _lane_block(pb, packed, interpret)
+    dtype = x.dtype
     flat = lambda j, t: (0, t * jb + j)  # noqa: E731
     return pl.pallas_call(
         functools.partial(_wt_kernel, np_cam=np_cam, nb=nb),
@@ -458,9 +484,9 @@ def tt_w_times_fused(
 ) -> jax.Array:
     """(W y) camera rows (C, np) for one bucket, fused."""
     c = onehot.shape[0]
-    nb, jb = _bucket_grid(pb)
-    dtype = y.dtype
     packed = onehot.dtype == jnp.uint8
+    nb, jb = _lane_block(pb, packed, interpret)
+    dtype = y.dtype
     flat = lambda j, t: (0, t * jb + j)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(_w_kernel, np_cam=np_cam, nb=nb),
@@ -497,9 +523,9 @@ def tt_cost_fused(
 ) -> jax.Array:
     """0.5 * sum(whitened r^2) for one bucket, fused (returns a scalar)."""
     c = table.shape[0]
-    nb, jb = _bucket_grid(pb)
-    dtype = pts.dtype
     packed = onehot.dtype == jnp.uint8
+    nb, jb = _lane_block(pb, packed, interpret)
+    dtype = pts.dtype
     flat = lambda j, t: (0, t * jb + j)  # noqa: E731
     lane = pl.pallas_call(
         functools.partial(_cost_kernel, config=config, nb=nb),

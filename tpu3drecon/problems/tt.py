@@ -114,8 +114,8 @@ def tt_from_flat(
     stream halves — measured 1.3-1.55x on the contraction kernels
     (experiments/tpu_bf16_onehot.py) with bit-identical results.
 
-    ``onehot_dtype="bits"`` packs the one-hot 8 slots/byte (uint8, bit j of
-    byte k = slot 8k+j — numpy packbits little-endian): a further 16x cut
+    ``onehot_dtype="bits"`` packs the one-hot 8 slots/byte (uint8,
+    bit-plane-within-tile order — see the pack-time comment): a further 16x cut
     of the dominant HBM stream.  Bit-packed problems REQUIRE the
     fully-fused Pallas engine (``ba_solve_tt(kernels="full")``), which
     expands tiles in VMEM; the XLA einsum paths reject them loudly.
@@ -165,10 +165,19 @@ def tt_from_flat(
         real = np.nonzero(flat_mask > 0)[0]
         onehot[flat_cam[real], real] = 1.0
         if bit_pack:
-            assert n % 8 == 0, n
-            oh_arr = jnp.asarray(
-                np.packbits(onehot.astype(bool), axis=1, bitorder="little")
-            )
+            # Bit-plane-within-tile layout (tile = the fused kernels' lane
+            # block, ops/pallas/tt_linearize._lane_block): within each tile
+            # of TLE slots, byte k bit j holds slot j*(TLE//8) + k, so the
+            # kernel expands by concatenating 8 shifted planes on the lane
+            # axis — the only uint8 expansion this Mosaic version lowers
+            # (experiments/tpu_bits_expand_probe.py).
+            tle = 1024 if Pb % 1024 == 0 else Pb
+            assert n % tle == 0 and tle % 8 == 0, (n, tle)
+            planes = onehot.astype(bool).reshape(C, n // tle, 8, tle // 8)
+            packed = np.zeros((C, n // tle, tle // 8), np.uint8)
+            for j in range(8):
+                packed |= planes[:, :, j, :].astype(np.uint8) << j
+            oh_arr = jnp.asarray(packed.reshape(C, n // 8))
         else:
             oh_arr = jnp.asarray(onehot, oh_dtype)
         buckets.append(

@@ -32,6 +32,7 @@ and cannot run any of these scales.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -64,8 +65,13 @@ class WTTBucket:
 
     uv: jax.Array  # (G, 2, Tb, Pc)
     mask: jax.Array  # (G, Tb, Pc)
-    onehot: jax.Array  # (G, W, Tb*Pc) {0,1}
+    onehot: jax.Array  # (G, W, Tb*Pc) {0,1}; None while deferred (see wcam)
     cam_base: jax.Array  # (G,) int32, multiples of 128
+    # Compact one-hot: window-relative camera index per slot (-1 = padding).
+    # ``wtt_from_flat(defer_onehot=True)`` ships this int16 form (1/W of the
+    # dense bytes) and ``expand_onehots`` materializes ``onehot`` ON DEVICE —
+    # the host->device stream drops from GBs to MBs at BAL scale.
+    wcam: jax.Array = None  # (G, Tb*Pc) int16
     window: int = dataclasses.field(default=CAM_TILE, metadata=dict(static=True))
 
 
@@ -105,6 +111,37 @@ class BAWTTProblem:
 
 def _pad_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("window", "dtype"))
+def _expand_wcam(wcam: jax.Array, window: int, dtype) -> jax.Array:
+    """(G, n) window-relative camera indices -> (G, W, n) one-hot.
+
+    Padding slots carry -1, which matches no window row, so they expand to
+    exact-zero columns — the same invariant the host packer guarantees.
+    """
+    w = jnp.arange(window, dtype=jnp.int32)[None, :, None]
+    return (wcam[:, None, :].astype(jnp.int32) == w).astype(dtype)
+
+
+def expand_onehots(problem: BAWTTProblem, onehot_dtype=None) -> BAWTTProblem:
+    """Materialize deferred one-hots (wtt_from_flat(defer_onehot=True)).
+
+    Runs on the current default device: call AFTER placing the compact
+    problem (utils.placement.commit), so the (G, W, n) one-hot is built at
+    HBM bandwidth instead of streaming through the host->device tunnel —
+    at BAL scale that replaces a ~2 GB transfer with a ~15 MB one
+    (experiments/balscale_dryrun.py tpu_wtt_defer).
+    """
+    dt = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
+    buckets = []
+    for b in problem.buckets:
+        if b.onehot is not None:
+            buckets.append(b)
+            continue
+        oh = _expand_wcam(b.wcam, b.window, jnp.dtype(dt))
+        buckets.append(dataclasses.replace(b, onehot=oh, wcam=None))
+    return dataclasses.replace(problem, buckets=tuple(buckets))
 
 
 def unpermute_cameras(cameras: CameraParams, cam_rows) -> CameraParams:
@@ -168,6 +205,7 @@ def wtt_from_flat(
     chunk_multiple: int = 1,
     onehot_dtype=None,
     reorder_cameras: str = "auto",
+    defer_onehot: bool = False,
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
@@ -327,7 +365,7 @@ def wtt_from_flat(
         n = Tb * Pc_eff
         uv_b = np.zeros((B, 2, Tb, Pc_eff), np_dtype)
         mask_b = np.zeros((B, Tb, Pc_eff), np_dtype)
-        onehot_b = np.zeros((B, window, n), np_dtype)
+        wcam_b = np.full((B, n), -1, np.int16)
         cam_base = np.zeros((B,), np.int32)
         sel = np.full((B, Pc_eff), -1, np.int64)  # g.points3d row per column
         for bi, (base, chunk_ids) in enumerate(groups):
@@ -344,14 +382,24 @@ def wtt_from_flat(
                 mask_b[bi, :, col0 : col0 + Pc] = tm_g
                 tt_i, pp = np.nonzero(tm_g > 0)
                 cols = tt_i * Pc_eff + col0 + pp
-                onehot_b[bi, tc_g[tm_g > 0] - base, cols] = 1.0
+                wcam_b[bi, cols] = tc_g[tm_g > 0] - base
                 sel[bi, col0 : col0 + Pc] = g_off + np.arange(gi * Pc, (gi + 1) * Pc)
+        if defer_onehot:
+            onehot = None
+            wcam = jnp.asarray(wcam_b)
+        else:
+            onehot_b = np.zeros((B, window, n), np_dtype)
+            rows, cols = np.nonzero(wcam_b >= 0)
+            onehot_b[rows, wcam_b[rows, cols], cols] = 1.0
+            onehot = jnp.asarray(onehot_b, oh_dtype)
+            wcam = None
         buckets.append(
             WTTBucket(
                 uv=jnp.asarray(uv_b),
                 mask=jnp.asarray(mask_b),
-                onehot=jnp.asarray(onehot_b, oh_dtype),
+                onehot=onehot,
                 cam_base=jnp.asarray(cam_base),
+                wcam=wcam,
                 window=window,
             )
         )

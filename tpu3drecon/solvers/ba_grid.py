@@ -268,7 +268,7 @@ def ba_solve_grid(
         )
     if config.precond == "tridiag":
         raise ValueError(
-            "precond='tridiag' is supported by the tt engine only"
+            "precond='tridiag' is supported by the tt/wtt engines only"
         )
     with jax.default_matmul_precision("highest"):
         return _ba_solve_grid_impl(problem, config)

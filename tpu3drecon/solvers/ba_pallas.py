@@ -287,7 +287,7 @@ def ba_solve_pallas(
         )
     if config.precond == "tridiag":
         raise ValueError(
-            "precond='tridiag' is supported by the tt engine only"
+            "precond='tridiag' is supported by the tt/wtt engines only"
         )
     with jax.default_matmul_precision("highest"):
         cams, pts, state = _ba_solve_pallas_impl(problem, config, interpret)

@@ -275,7 +275,9 @@ def _offdiag_pair_contribs(jc, jp, vi_rows, np_cam: int) -> list:
     at most once), so every (c, c+1) entry of S comes from a slot-ADJACENT
     pair — masking these planes with the pair one-hot (see _linearize)
     reconstructs S_{c,c+1} EXACTLY (pinned in tests/test_tridiag.py).
-    Planes are (Tb-1, Pb)."""
+    Planes are (..., Tb-1, Pb) — the slot-pair slice acts on the
+    second-to-last (track) axis, so batched (G, Tb, Pc) wtt planes work
+    unchanged."""
     w_slot = [
         [jc[i] * jp[l] + jc[np_cam + i] * jp[3 + l] for l in range(3)]
         for i in range(np_cam)
@@ -285,7 +287,10 @@ def _offdiag_pair_contribs(jc, jp, vi_rows, np_cam: int) -> list:
         for i in range(np_cam)
     ]
     return [
-        sum(wv[i][l][:-1, :] * w_slot[j][l][1:, :] for l in range(3))
+        sum(
+            wv[i][l][..., :-1, :] * w_slot[j][l][..., 1:, :]
+            for l in range(3)
+        )
         for i in range(np_cam)
         for j in range(np_cam)
     ]
@@ -516,11 +521,14 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
 
     tridiag = None
     if config.precond == "tridiag":
-        from tpu3drecon.solvers.tridiag import tridiag_factor
+        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_factor
 
         e_cols = _psum(e_cols, axis_name)
         e_blocks = -e_cols.reshape(-1, np_cam, np_cam)
-        tridiag = tridiag_factor(precond_mat, e_blocks)
+        tridiag = tridiag_factor(
+            precond_mat, e_blocks,
+            segments=auto_segments(precond_mat.shape[0]),
+        )
 
     return TTNormal(
         u=u_d,
@@ -541,9 +549,10 @@ def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None,
     single psum re-replicates the matvec; all dots are therefore local.
     """
     if nb.tridiag is not None:
-        from tpu3drecon.solvers.tridiag import tridiag_solve
+        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_solve
 
-        precond = lambda r: tridiag_solve(nb.tridiag, r)  # noqa: E731
+        seg = auto_segments(nb.u_chol.shape[0])
+        precond = lambda r: tridiag_solve(nb.tridiag, r, segments=seg)  # noqa: E731
     else:
         precond = cho_block_precond(nb.u_chol)
     out = pcg(

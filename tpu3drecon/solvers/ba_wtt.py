@@ -41,6 +41,7 @@ from tpu3drecon.problems.wtt import (
 from tpu3drecon.solvers.ba_tt import (
     _cam_table,
     _coupling_contribs,
+    _offdiag_pair_contribs,
     _psum,
     _sym3_inv_planes,
     _triu_pairs,
@@ -125,6 +126,7 @@ class WTTNormal(NamedTuple):
     g_cam: jax.Array  # (c_pad, np)
     damp_cam: jax.Array  # (c_pad, np)
     buckets: Tuple[WTTBucketNormal, ...]
+    tridiag: object = None  # TridiagFactor when config.precond == "tridiag"
 
 
 def _wt_times_bucket_w(bn: WTTBucketNormal, x_pad: jax.Array, bucket: WTTBucket):
@@ -187,9 +189,11 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     np_cam = n_cam_params(config)
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
+    use_sj = config.precond in ("schur_jacobi", "tridiag")
     u_cols = jnp.zeros((c_pad, n_triu), dtype)
     g_cols = jnp.zeros((c_pad, np_cam), dtype)
     coup_cols = jnp.zeros((c_pad, n_triu), dtype)
+    e_cols = jnp.zeros((c_pad, np_cam * np_cam), dtype)
     bucket_normals = []
     for bucket, pts in zip(problem.buckets, pts_list):
         cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
@@ -216,7 +220,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         v_inv = _sym3_inv_planes(v6_d)
 
         contribs = _u_g_contribs(jc, r, np_cam, triu)
-        if config.precond == "schur_jacobi":
+        if use_sj:
             # v_inv is (6, G, Pc): broadcast over the Tb axis of the slots.
             vb = [v_inv[i][:, None, :] for i in range(6)]
             vi = [
@@ -228,39 +232,76 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         reduced = _reduce_to_cams_w(contribs, bucket, c_pad)
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
-        if config.precond == "schur_jacobi":
+        if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
+        if config.precond == "tridiag":
+            # S_{c,c+1} blocks from adjacent-slot pairs (exactly as the tt
+            # engine, ba_tt._linearize): window-relative here, so the pair
+            # one-hot rolls along the WINDOW axis and the reduction
+            # tile-scatters like every other camera reduction.  Track
+            # camera lists are strictly increasing, so the wrap row
+            # (w = W-1 paired with w = 0) is identically zero.
+            g_b, _, tb_b, pc_b = bucket.uv.shape
+            n_b = tb_b * pc_b
+            oh = bucket.onehot
+            pair_oh = (
+                oh[:, :, : n_b - pc_b]
+                * jnp.roll(oh, -1, axis=1)[:, :, pc_b:]
+            )
+            od = _offdiag_pair_contribs(jc, jp, vi, np_cam)
+            od_flat = jnp.stack(od).reshape(
+                np_cam * np_cam, g_b, (tb_b - 1) * pc_b
+            )
+            rows = jnp.einsum("kgn,gwn->gwk", od_flat, pair_oh)
+            e_cols = e_cols + _scatter_rows(rows, _window_idx(bucket), c_pad)
         bucket_normals.append(
             WTTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
 
     u_cols = _psum(u_cols, axis_name)
     g_cols = _psum(g_cols, axis_name)
-    if config.precond == "schur_jacobi":
+    if use_sj:
         coup_cols = _psum(coup_cols, axis_name)
     u0 = _unpack_sym(u_cols, np_cam)
     eye = jnp.eye(np_cam, dtype=dtype)
     du = jnp.clip(jnp.diagonal(u0, axis1=-2, axis2=-1), 1e-8, None)
     damp_cam = lam * du
     u_d = u0 + damp_cam[..., None] * eye
-    if config.precond == "schur_jacobi":
+    if use_sj:
         precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
     else:
         precond_mat = u_d
     # Padding cameras have u0 = 0 and damp = lam*1e-8: SPD, inert.
     u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
+    tridiag = None
+    if config.precond == "tridiag":
+        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_factor
+
+        e_cols = _psum(e_cols, axis_name)
+        e_blocks = -e_cols.reshape(c_pad, np_cam, np_cam)
+        tridiag = tridiag_factor(
+            precond_mat, e_blocks, segments=auto_segments(c_pad)
+        )
+
     return WTTNormal(
         u=u_d, u_chol=u_chol, g_cam=g_cols, damp_cam=damp_cam,
-        buckets=tuple(bucket_normals),
+        buckets=tuple(bucket_normals), tridiag=tridiag,
     )
 
 
 def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
          axis_name=None):
+    if nb.tridiag is not None:
+        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_solve
+
+        seg = auto_segments(nb.u_chol.shape[0])
+        precond = lambda r: tridiag_solve(nb.tridiag, r, segments=seg)  # noqa: E731
+    else:
+        precond = cho_block_precond(nb.u_chol)
     out = pcg(
         lambda p: _schur_matvec(nb, p, problem, axis_name),
-        cho_block_precond(nb.u_chol),
+        precond,
         b, maxiter, rtol,
     )
     return out.x, out.iters
@@ -305,8 +346,12 @@ def ba_solve_wtt(
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Windowed track-table BA solve; same outputs and trust-region
     trajectory as ba_solve_tt / ba_solve_grid (tests/test_ba_wtt.py)."""
-    if config.precond == "tridiag":
-        raise ValueError("precond='tridiag' is tt-engine-only for now")
+    if any(b.onehot is None for b in problem.buckets):
+        raise ValueError(
+            "problem has deferred one-hots (wtt_from_flat(defer_onehot=True));"
+            " materialize them on the target device first: problems.wtt."
+            "expand_onehots(commit(problem))"
+        )
     with jax.default_matmul_precision("highest"):
         pts_list = []
         for bucket, off in zip(problem.buckets, problem.bucket_offsets):

@@ -64,8 +64,10 @@ class BAConfig(NamedTuple):
     #                   linearization, typically halves CG iterations.
     #   "tridiag":      exact block-TRIDIAGONAL of S (diag + S_{c,c+1} from
     #                   adjacent track-slot pairs; solvers/tridiag.py) —
-    #                   tt engine only; targets sequential captures where
-    #                   adjacent-camera coupling dominates.
+    #                   tt/wtt engines only; targets sequential captures
+    #                   where adjacent-camera coupling dominates.  Large
+    #                   camera chains factor/solve in independent segments
+    #                   (tridiag.auto_segments) to bound sequential depth.
     precond: str = "schur_jacobi"
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
@@ -219,7 +221,7 @@ def ba_solve(
         )
     if config.precond == "tridiag":
         raise ValueError(
-            "precond='tridiag' is supported by the tt engine only"
+            "precond='tridiag' is supported by the tt/wtt engines only"
         )
     # TPU matmuls default to bf16 inputs on the MXU; the tiny 2x8/3x3 block
     # algebra here is bandwidth-bound anyway, so force full f32 precision —

@@ -9,12 +9,19 @@ exactly from adjacent track-slot pairs (solvers/ba_tt: track camera lists
 are strictly increasing, so cam-adjacent couplings are slot-adjacent).
 
 Factorization is a block-Cholesky Thomas sweep (lax.scan over the camera
-chain — O(C) sequential steps of (np, np) block algebra); the apply is a
+chain — sequential steps of (np, np) block algebra); the apply is a
 forward+backward substitution scan pair.  An SPD guard per step: if the
 pivot D_c - W^T W loses positive definiteness (the tridiagonal PART of an
 SPD matrix need not be SPD), that interface's coupling is dropped and the
 step falls back to the diagonal block — the factorization then IS the
 exact factorization of the modified (still SPD) preconditioner.
+
+``segments`` splits the camera chain into independent sub-chains
+(block-Jacobi of tridiagonal segments, dropping the segments-1 boundary
+interfaces): the scans vmap over segments, so the TPU-hostile sequential
+depth falls from C to C/segments while the preconditioner stays exact
+inside every segment.  At BAL scale (c_pad 1792) segment length 128 turns
+~1.8k sequential tiny-block steps per sweep into 128.
 
 No reference counterpart (the reference's linear solver is jaxopt's dense
 Cholesky: src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91).
@@ -31,19 +38,36 @@ from jax.scipy.linalg import solve_triangular
 
 class TridiagFactor(NamedTuple):
     l_blocks: jax.Array  # (C, n, n) lower-triangular diagonal factors
-    w_blocks: jax.Array  # (C, n, n) W_c = L_c^{-1} E_c (row C-1 unused)
+    w_blocks: jax.Array  # (C, n, n) W_c = L_c^{-1} E_c (segment ends zero)
     w_used: jax.Array  # (C, n, n) W_{c-1} actually used at step c (guarded)
 
 
-def tridiag_factor(d_blocks: jax.Array, e_blocks: jax.Array) -> TridiagFactor:
+def auto_segments(n_blocks: int, target_len: int = 128) -> int:
+    """Segment count for a C-camera chain: ~``target_len`` cameras per
+    sub-chain when C divides evenly (the wtt c_pad is always a multiple of
+    128), else the whole chain (short chains don't need splitting)."""
+    if n_blocks >= 2 * target_len and n_blocks % target_len == 0:
+        return n_blocks // target_len
+    return 1
+
+
+def tridiag_factor(
+    d_blocks: jax.Array, e_blocks: jax.Array, segments: int = 1
+) -> TridiagFactor:
     """Factor M = tridiag(E^T, D, E) as block-bidiagonal L Lt.
 
     ``d_blocks`` (C, n, n) SPD diagonal blocks; ``e_blocks`` (C, n, n) with
-    e[c] = M[c, c+1] (the last row is ignored).  Returns the factor with
-    the per-step guard applied.
+    e[c] = M[c, c+1] (the last row of each segment is dropped).  Returns
+    the factor with the per-step SPD guard applied.
     """
-    n = d_blocks.shape[-1]
+    c, n, _ = d_blocks.shape
+    assert c % segments == 0, (c, segments)
+    ln = c // segments
     dtype = d_blocks.dtype
+    d_seg = d_blocks.reshape(segments, ln, n, n)
+    # Cross-segment interfaces are dropped (and the final row's e was
+    # always ignored): zero them so w_blocks is exactly zero there.
+    e_seg = e_blocks.reshape(segments, ln, n, n).at[:, -1].set(0.0)
     w0 = jnp.zeros((n, n), dtype)
 
     def step(w_prev, de):
@@ -56,14 +80,33 @@ def tridiag_factor(d_blocks: jax.Array, e_blocks: jax.Array) -> TridiagFactor:
         w_c = solve_triangular(l_c, e_c, lower=True)
         return w_c, (l_c, w_c, w_prev_eff)
 
-    _, (l, w, w_used) = jax.lax.scan(step, w0, (d_blocks, e_blocks))
-    return TridiagFactor(l_blocks=l, w_blocks=w, w_used=w_used)
+    def chain(d_ch, e_ch):
+        _, out = jax.lax.scan(step, w0, (d_ch, e_ch))
+        return out
+
+    l, w, w_used = jax.vmap(chain)(d_seg, e_seg)
+    return TridiagFactor(
+        l_blocks=l.reshape(c, n, n),
+        w_blocks=w.reshape(c, n, n),
+        w_used=w_used.reshape(c, n, n),
+    )
 
 
-def tridiag_solve(factor: TridiagFactor, r: jax.Array) -> jax.Array:
-    """Solve M z = r for the factored block tridiagonal; r is (C, n)."""
-    n = r.shape[-1]
+def tridiag_solve(
+    factor: TridiagFactor, r: jax.Array, segments: int = 1
+) -> jax.Array:
+    """Solve M z = r for the factored block tridiagonal; r is (C, n).
+
+    ``segments`` must match the value given to ``tridiag_factor``.
+    """
+    c, n = r.shape
+    assert c % segments == 0, (c, segments)
+    ln = c // segments
     dtype = r.dtype
+    l = factor.l_blocks.reshape(segments, ln, n, n)
+    w = factor.w_blocks.reshape(segments, ln, n, n)
+    wu = factor.w_used.reshape(segments, ln, n, n)
+    rs = r.reshape(segments, ln, n)
     y0 = jnp.zeros((n,), dtype)
 
     def fwd(y_prev, inp):
@@ -71,28 +114,27 @@ def tridiag_solve(factor: TridiagFactor, r: jax.Array) -> jax.Array:
         y_c = solve_triangular(l_c, r_c - w_used_c.T @ y_prev, lower=True)
         return y_c, y_c
 
-    _, y = jax.lax.scan(fwd, y0, (factor.l_blocks, factor.w_used, r))
-
     def bwd(z_next, inp):
         l_c, w_c, w_used_next, y_c = inp
         # Interface (c, c+1) only acts if step c+1 actually used it.
         used = jnp.any(w_used_next != 0.0)
         w_eff = jnp.where(used, w_c, jnp.zeros_like(w_c))
-        z_c = solve_triangular(
-            l_c.T, y_c - w_eff @ z_next, lower=False
-        )
+        z_c = solve_triangular(l_c.T, y_c - w_eff @ z_next, lower=False)
         return z_c, z_c
 
-    # w_used at step c+1 tells whether the (c, c+1) interface survived the
-    # guard; shift it down so step c sees its own outgoing interface.
-    w_used_next = jnp.concatenate(
-        [factor.w_used[1:], jnp.zeros_like(factor.w_used[:1])]
-    )
-    _, z = jax.lax.scan(
-        bwd, y0, (factor.l_blocks, factor.w_blocks, w_used_next, y),
-        reverse=True,
-    )
-    return z
+    def seg(l_ch, w_ch, wu_ch, r_ch):
+        _, y = jax.lax.scan(fwd, y0, (l_ch, wu_ch, r_ch))
+        # w_used at step c+1 tells whether the (c, c+1) interface survived
+        # the guard; shift it down so step c sees its own outgoing
+        # interface (segment-local: boundaries never couple).
+        wu_next = jnp.concatenate([wu_ch[1:], jnp.zeros_like(wu_ch[:1])])
+        _, z = jax.lax.scan(
+            bwd, y0, (l_ch, w_ch, wu_next, y), reverse=True
+        )
+        return z
+
+    z = jax.vmap(seg)(l, w, wu, rs)
+    return z.reshape(c, n)
 
 
 def tridiag_matvec(d_blocks, e_blocks, x):
