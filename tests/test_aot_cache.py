@@ -63,6 +63,80 @@ def test_fingerprint_sensitive_to_shape_and_code(cache_dir):
     assert k_fa == aot_cache.lowered_fingerprint(f.lower(a))  # deterministic
 
 
+def test_semantic_key_hit_and_isolation(cache_dir):
+    @jax.jit
+    def f(x):
+        return jnp.cos(x) * 2.0
+
+    x = jnp.ones((32, 64))
+    expected = np.asarray(f(x))
+
+    c1 = aot_cache.cached_compile(f, x, cache_dir=cache_dir,
+                                  semantic_key="semtest|v1")
+    np.testing.assert_allclose(np.asarray(c1(x)), expected, rtol=1e-6)
+    if aot_cache.entry_count(cache_dir) == 0:
+        pytest.skip("backend does not support executable serialization")
+    sems = list(cache_dir.glob("*.sem"))
+    assert len(sems) == 1  # index written on the miss path
+
+    # Same semantic key: hits via the index (no new entries).
+    n_aot = len(list(cache_dir.glob("*.aot")))
+    c2 = aot_cache.cached_compile(f, x, cache_dir=cache_dir,
+                                  semantic_key="semtest|v1")
+    np.testing.assert_allclose(np.asarray(c2(x)), expected, rtol=1e-6)
+    assert len(list(cache_dir.glob("*.aot"))) == n_aot
+
+    # A different semantic key for the same program: new index entry,
+    # same executable store.
+    aot_cache.cached_compile(f, x, cache_dir=cache_dir,
+                             semantic_key="semtest|v2")
+    assert len(list(cache_dir.glob("*.sem"))) == 2
+    assert len(list(cache_dir.glob("*.aot"))) == n_aot
+
+    # Different arg shape under the same key: distinct semantic entry.
+    y = jnp.ones((16, 64))
+    aot_cache.cached_compile(f, y, cache_dir=cache_dir,
+                             semantic_key="semtest|v1")
+    assert len(list(cache_dir.glob("*.sem"))) == 3
+
+
+def test_semantic_signature_sees_static_treedef(cache_dir):
+    # Static dataclass fields land in the treedef repr, so problems that
+    # differ only in static metadata cannot collide on the semantic key.
+    from tpu3drecon.problems.wtt import WTTBucket
+
+    def bucket(window):
+        return WTTBucket(
+            uv=jnp.zeros((1, 2, 2, 4)), mask=jnp.zeros((1, 2, 4)),
+            onehot=jnp.zeros((1, 8, 8)),
+            cam_base=jnp.zeros((1,), jnp.int32), wcam=None, window=window,
+        )
+
+    s1 = aot_cache.semantic_fingerprint("k", (bucket(128),))
+    s2 = aot_cache.semantic_fingerprint("k", (bucket(256),))
+    assert s1 != s2
+
+
+def test_cpu_entries_are_process_local(cache_dir, monkeypatch):
+    # Cross-process XLA:CPU AOT loads segfault (module docstring); the
+    # guard must treat another process's CPU entry as a miss.
+    if jax.devices()[0].platform != "cpu":
+        pytest.skip("CPU-backend guard")
+
+    @jax.jit
+    def f(x):
+        return x * 4.0 + 1.0
+
+    x = jnp.ones((8, 128))
+    aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    if aot_cache.entry_count(cache_dir) == 0:
+        pytest.skip("backend does not support executable serialization")
+
+    monkeypatch.setattr(aot_cache, "_PROC_TAG", "other-process")
+    c = aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c(x)), 5.0)
+
+
 def test_corrupt_entry_recompiles(cache_dir):
     @jax.jit
     def f(x):

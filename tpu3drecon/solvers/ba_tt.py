@@ -405,7 +405,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
 
     np_cam = n_cam_params(config)
-    use_sj = config.precond in ("schur_jacobi", "tridiag")
+    use_sj = config.precond in ("schur_jacobi", "tridiag", "ssor")
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
     u_cols = jnp.zeros((rmats.shape[0], n_triu), dtype)
@@ -488,7 +488,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
         if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
-        if config.precond == "tridiag":
+        if config.precond in ("tridiag", "ssor"):
             # S_{c,c+1} blocks from adjacent-slot pairs: mask the pair
             # planes with the PAIR one-hot (both slots real, cams exactly
             # (c, c+1)) — derived from the existing one-hot by a camera
@@ -520,12 +520,17 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     tridiag = None
-    if config.precond == "tridiag":
-        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_factor
+    if config.precond in ("tridiag", "ssor"):
+        from tpu3drecon.solvers.tridiag import (
+            auto_segments,
+            ssor_factor,
+            tridiag_factor,
+        )
 
         e_cols = _psum(e_cols, axis_name)
         e_blocks = -e_cols.reshape(-1, np_cam, np_cam)
-        tridiag = tridiag_factor(
+        make = ssor_factor if config.precond == "ssor" else tridiag_factor
+        tridiag = make(
             precond_mat, e_blocks,
             segments=auto_segments(precond_mat.shape[0]),
         )
@@ -549,10 +554,18 @@ def _pcg(nb: TTNormal, b: jax.Array, problem, maxiter, rtol, axis_name=None,
     single psum re-replicates the matvec; all dots are therefore local.
     """
     if nb.tridiag is not None:
-        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_solve
+        from tpu3drecon.solvers.tridiag import (
+            SSORFactor,
+            auto_segments,
+            ssor_solve,
+            tridiag_solve,
+        )
 
         seg = auto_segments(nb.u_chol.shape[0])
-        precond = lambda r: tridiag_solve(nb.tridiag, r, segments=seg)  # noqa: E731
+        solve = (
+            ssor_solve if isinstance(nb.tridiag, SSORFactor) else tridiag_solve
+        )
+        precond = lambda r: solve(nb.tridiag, r, segments=seg)  # noqa: E731
     else:
         precond = cho_block_precond(nb.u_chol)
     out = pcg(
@@ -617,8 +630,10 @@ def ba_solve_tt(
     ``kernels=True`` runs the fused Pallas linearization
     (ops/pallas/tt_linearize.py) — numerically the same step sequence,
     less HBM traffic; ``interpret=True`` emulates the kernels on CPU."""
-    if kernels and config.precond == "tridiag":
-        raise ValueError("precond='tridiag' is not fused yet; use kernels=False")
+    if kernels and config.precond in ("tridiag", "ssor"):
+        raise ValueError(
+            f"precond={config.precond!r} is not fused yet; use kernels=False"
+        )
     with jax.default_matmul_precision("highest"):
         pts_list = []
         for bucket, off in zip(problem.buckets, problem.bucket_offsets):
@@ -769,7 +784,17 @@ def make_tt_ba_solver(config: BAConfig = BAConfig(), kernels: bool = False,
         if aot:
             from tpu3drecon.utils.aot_cache import aot_wrap
 
-            call = aot_wrap(jfn)
+            # The semantic key must name every static input to program
+            # construction: the static config (dynamic fields are operands)
+            # and the kernels/interpret flags.  Code changes are covered by
+            # the cache's source-tree hash.
+            call = aot_wrap(
+                jfn,
+                semantic_key=(
+                    f"ba_tt|{static!r}|kernels={kernels}"
+                    f"|interpret={interpret}"
+                ),
+            )
         _TT_SOLVER_CACHE[key] = lambda p, _j=call, _c=config: _j(
             p, dynamic_operands(_c)
         )

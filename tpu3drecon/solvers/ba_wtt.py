@@ -189,7 +189,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     np_cam = n_cam_params(config)
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
-    use_sj = config.precond in ("schur_jacobi", "tridiag")
+    use_sj = config.precond in ("schur_jacobi", "tridiag", "ssor")
     u_cols = jnp.zeros((c_pad, n_triu), dtype)
     g_cols = jnp.zeros((c_pad, np_cam), dtype)
     coup_cols = jnp.zeros((c_pad, n_triu), dtype)
@@ -234,7 +234,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
         if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
-        if config.precond == "tridiag":
+        if config.precond in ("tridiag", "ssor"):
             # S_{c,c+1} blocks from adjacent-slot pairs (exactly as the tt
             # engine, ba_tt._linearize): window-relative here, so the pair
             # one-hot rolls along the WINDOW axis and the reduction
@@ -275,12 +275,17 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     tridiag = None
-    if config.precond == "tridiag":
-        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_factor
+    if config.precond in ("tridiag", "ssor"):
+        from tpu3drecon.solvers.tridiag import (
+            auto_segments,
+            ssor_factor,
+            tridiag_factor,
+        )
 
         e_cols = _psum(e_cols, axis_name)
         e_blocks = -e_cols.reshape(c_pad, np_cam, np_cam)
-        tridiag = tridiag_factor(
+        make = ssor_factor if config.precond == "ssor" else tridiag_factor
+        tridiag = make(
             precond_mat, e_blocks, segments=auto_segments(c_pad)
         )
 
@@ -293,10 +298,18 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
 def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
          axis_name=None):
     if nb.tridiag is not None:
-        from tpu3drecon.solvers.tridiag import auto_segments, tridiag_solve
+        from tpu3drecon.solvers.tridiag import (
+            SSORFactor,
+            auto_segments,
+            ssor_solve,
+            tridiag_solve,
+        )
 
         seg = auto_segments(nb.u_chol.shape[0])
-        precond = lambda r: tridiag_solve(nb.tridiag, r, segments=seg)  # noqa: E731
+        solve = (
+            ssor_solve if isinstance(nb.tridiag, SSORFactor) else tridiag_solve
+        )
+        precond = lambda r: solve(nb.tridiag, r, segments=seg)  # noqa: E731
     else:
         precond = cho_block_precond(nb.u_chol)
     out = pcg(
@@ -477,7 +490,9 @@ def make_wtt_ba_solver(config: BAConfig = BAConfig(), aot: bool = False):
         if aot:
             from tpu3drecon.utils.aot_cache import aot_wrap
 
-            call = aot_wrap(jfn)
+            # Static config only — dynamic fields travel as operands; code
+            # changes are covered by the cache's source-tree hash.
+            call = aot_wrap(jfn, semantic_key=f"ba_wtt|{static!r}")
         _WTT_SOLVER_CACHE[key] = lambda p, _j=call, _c=config: _j(
             p, dynamic_operands(_c)
         )
