@@ -233,3 +233,105 @@ class TestWTTTridiag:
         rmse_b = float(reprojection_rmse(flat, cams_b, pts_b))
         assert rmse_b < max(2 * rmse_a, 1e-6)
         assert int(st_b.cg_iters) <= int(st_a.cg_iters)
+
+
+class TestSSOR:
+    """Block-SSOR preconditioner (solvers/tridiag.ssor_*): SPD by
+    construction on the same exact D/E band — the scale-robust band option
+    (the tridiagonal PART of S is often indefinite at larger camera
+    counts; experiments/precond_quality.py)."""
+
+    def test_solve_matches_dense_M(self):
+        from tpu3drecon.solvers.tridiag import ssor_factor, ssor_solve
+
+        rng = np.random.default_rng(5)
+        C, n = 10, 5
+        # Strong off-diagonal: tridiag(E^T, D, E) is indefinite here (6
+        # negative modes) but SSOR's M must still be SPD and the solve
+        # exact.  (scale=40 makes M itself numerically singular — cond
+        # ~1e17 — where no f64 solve agrees with anything; scale=6 keeps
+        # the band indefinite at cond(M) ~2e2.)
+        d, e, _ = _random_block_tridiag(rng, C, n, scale=6.0)
+        Dm = np.zeros((C * n, C * n))
+        Lm = np.zeros((C * n, C * n))
+        for c in range(C):
+            Dm[c * n : (c + 1) * n, c * n : (c + 1) * n] = d[c]
+            if c + 1 < C:
+                Lm[(c + 1) * n : (c + 2) * n, c * n : (c + 1) * n] = e[c].T
+        M = (Dm + Lm) @ np.linalg.solve(Dm, (Dm + Lm).T)
+        assert np.linalg.eigvalsh(M).min() > 0.0  # SPD regardless of E
+
+        r = rng.normal(size=(C, n))
+        f = ssor_factor(jnp.asarray(d), jnp.asarray(e))
+        z = np.asarray(ssor_solve(f, jnp.asarray(r)))
+        z_ref = np.linalg.solve(M, r.reshape(-1)).reshape(C, n)
+        np.testing.assert_allclose(z, z_ref, rtol=1e-9, atol=1e-11)
+
+    def test_segmented_drops_boundary_interfaces(self):
+        from tpu3drecon.solvers.tridiag import ssor_factor, ssor_solve
+
+        rng = np.random.default_rng(6)
+        C, n, S = 12, 4, 3
+        d, e, _ = _random_block_tridiag(rng, C, n)
+        r = rng.normal(size=(C, n))
+        f = ssor_factor(jnp.asarray(d), jnp.asarray(e), segments=S)
+        z = np.asarray(ssor_solve(f, jnp.asarray(r), segments=S))
+        # Reference: per-segment dense SSOR with boundary E zeroed.
+        L = C // S
+        for s in range(S):
+            ds, es = d[s * L : (s + 1) * L], e[s * L : (s + 1) * L].copy()
+            es[-1] = 0.0
+            Dm = np.zeros((L * n, L * n))
+            Lm = np.zeros((L * n, L * n))
+            for c in range(L):
+                Dm[c * n : (c + 1) * n, c * n : (c + 1) * n] = ds[c]
+                if c + 1 < L:
+                    Lm[(c + 1) * n : (c + 2) * n, c * n : (c + 1) * n] = es[c].T
+            M = (Dm + Lm) @ np.linalg.solve(Dm, (Dm + Lm).T)
+            z_ref = np.linalg.solve(
+                M, r[s * L : (s + 1) * L].reshape(-1)
+            ).reshape(L, n)
+            np.testing.assert_allclose(
+                z[s * L : (s + 1) * L], z_ref, rtol=1e-9, atol=1e-11
+            )
+
+    def test_tt_engine_ssor(self, seq_tt):
+        # Same optimum as schur_jacobi; never more CG iterations on the
+        # sequential scene.
+        flat, tt = seq_tt
+        base = dict(maxiter=12, gtol=0.0, ftol=0.0, cg_maxiter=50,
+                    cg_rtol=1e-10)
+        cams_a, pts_a, st_a = ba_solve_tt(
+            tt, BAConfig(precond="schur_jacobi", **base)
+        )
+        cams_b, pts_b, st_b = ba_solve_tt(
+            tt, BAConfig(precond="ssor", **base)
+        )
+        rmse_a = float(reprojection_rmse(flat, cams_a, pts_a))
+        rmse_b = float(reprojection_rmse(flat, cams_b, pts_b))
+        assert rmse_b < max(2 * rmse_a, 1e-6)
+        assert int(st_b.cg_iters) <= int(st_a.cg_iters)
+
+    def test_wtt_engine_ssor_matches_tt(self, seq_tt):
+        from tpu3drecon.problems.wtt import wtt_from_flat
+        from tpu3drecon.solvers.ba_wtt import ba_solve_wtt
+
+        flat, tt = seq_tt
+        wtt = wtt_from_flat(flat, point_chunk=64)
+        config = BAConfig(
+            precond="ssor", maxiter=6, gtol=0.0, ftol=0.0,
+            cg_maxiter=30, cg_rtol=1e-10,
+        )
+        cams_t, pts_t, st_t = ba_solve_tt(tt, config)
+        cams_w, pts_w, st_w = ba_solve_wtt(wtt, config)
+        np.testing.assert_allclose(
+            np.asarray(pts_t), np.asarray(pts_w), rtol=0, atol=1e-9
+        )
+        assert float(st_t.loss) == pytest.approx(float(st_w.loss), rel=1e-10)
+
+    def test_rejected_by_other_engines(self, seq_tt):
+        flat, _ = seq_tt
+        from tpu3drecon.solvers.bundle_adjust import ba_solve
+
+        with pytest.raises(ValueError, match="ssor"):
+            ba_solve(flat, BAConfig(precond="ssor"))

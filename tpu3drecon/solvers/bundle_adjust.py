@@ -68,6 +68,14 @@ class BAConfig(NamedTuple):
     #                   where adjacent-camera coupling dominates.  Large
     #                   camera chains factor/solve in independent segments
     #                   (tridiag.auto_segments) to bound sequential depth.
+    #                   CAUTION: the tridiagonal PART of SPD S is often
+    #                   indefinite — measured WORSE than schur_jacobi on
+    #                   larger sequential scenes (experiments/
+    #                   precond_quality.py); prefer "ssor".
+    #   "ssor":         block-SSOR (D+L) D^-1 (D+L)^T over the same exact
+    #                   D and S_{c,c+1} band — SPD by construction, no
+    #                   guard; measured 1.7x fewer PCG iters than
+    #                   schur_jacobi on sequential scenes.  tt/wtt only.
     precond: str = "schur_jacobi"
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
@@ -219,9 +227,10 @@ def ba_solve(
             "optimize_pp is supported by the track-table engines "
             "(ba_solve_tt / ba_solve_wtt) only"
         )
-    if config.precond == "tridiag":
+    if config.precond in ("tridiag", "ssor"):
         raise ValueError(
-            "precond='tridiag' is supported by the tt/wtt engines only"
+            f"precond={config.precond!r} is supported by the tt/wtt "
+            "engines only"
         )
     # TPU matmuls default to bf16 inputs on the MXU; the tiny 2x8/3x3 block
     # algebra here is bandwidth-bound anyway, so force full f32 precision —
