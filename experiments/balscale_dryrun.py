@@ -250,7 +250,7 @@ def main_tpu_wtt(shuffled: bool = False):
         import numpy as _np
 
         outs = {}
-        for name in ("schur_jacobi", "tridiag"):
+        for name in ("schur_jacobi", "tridiag", "ssor"):
             # CG to TOLERANCE (not a fixed budget) so preconditioner
             # quality shows up as wall time + iteration count.
             cfg = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=30,

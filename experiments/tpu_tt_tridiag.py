@@ -1,4 +1,4 @@
-"""Interleaved A/B: SCHUR_JACOBI vs block-TRIDIAGONAL preconditioner (tt).
+"""Interleaved A/B: SCHUR_JACOBI vs TRIDIAG vs SSOR preconditioner (tt).
 
 VERDICT round-2 item #4: sequential captures give S band structure; does
 the exact block-tridiagonal preconditioner (solvers/tridiag.py) cut CG
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LM_ITERS = 30
 
 
-def main(reps: int = 3) -> None:
+def main(reps: int = 3, bench: bool = False) -> None:
     import jax
 
     from tpu3drecon.dataset.synthetic import (
@@ -34,15 +34,22 @@ def main(reps: int = 3) -> None:
     from tpu3drecon.utils.timing import device_sync
 
     print("backend:", jax.default_backend(), flush=True)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        scene = make_sequential_scene(
-            n_cameras=256, points_per_camera=400, track_span=4, seed=33
-        )
-        noisy = perturb_scene(scene, seed=34, point2d_noise=0.5)
-        flat, _ = scene_to_ba_problem(noisy, observed=scene)
+    if bench:
+        from tpu3drecon.benchmark.medium_config import build_problem
+
+        flat = build_problem(on_host=True)
+        label = "bench scene: 100 cams"
+    else:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            scene = make_sequential_scene(
+                n_cameras=256, points_per_camera=400, track_span=4, seed=33
+            )
+            noisy = perturb_scene(scene, seed=34, point2d_noise=0.5)
+            flat, _ = scene_to_ba_problem(noisy, observed=scene)
+        label = "sequential scene: 256 cams"
     problem = commit(tt_from_flat(flat))
     n_obs = int(sum(float(b.mask.sum()) for b in problem.buckets))
-    print(f"sequential scene: 256 cams, {n_obs} obs", flush=True)
+    print(f"{label}, {n_obs} obs", flush=True)
 
     def cfg(precond, cg):
         return BAConfig(
@@ -50,18 +57,18 @@ def main(reps: int = 3) -> None:
             cg_rtol=1e-6, precond=precond,
         )
 
+    preconds = ("schur_jacobi", "tridiag", "ssor")
     # One compile per precond (cg_maxiter/rtol are dynamic operands).
-    for name, precond in (("schur_jacobi", "schur_jacobi"), ("tridiag", "tridiag")):
+    for precond in preconds:
         t0 = time.perf_counter()
         out = make_tt_ba_solver(cfg(precond, 8))(problem)
         device_sync(out[2].loss)
-        print(f"{name}: compile {time.perf_counter() - t0:.1f}s", flush=True)
+        print(f"{precond}: compile {time.perf_counter() - t0:.1f}s", flush=True)
 
-    for cg in (4, 6, 8, 12):
+    for cg in (3, 4, 5, 6, 8, 12):
         rows = {}
-        for name, precond in (
-            ("schur_jacobi", "schur_jacobi"), ("tridiag", "tridiag")
-        ):
+        for precond in preconds:
+            name = precond
             solver = make_tt_ba_solver(cfg(precond, cg))
             ts = []
             for _ in range(reps):
@@ -81,4 +88,5 @@ def main(reps: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+    args = [a for a in sys.argv[1:] if a != "--bench"]
+    main(int(args[0]) if args else 3, bench="--bench" in sys.argv[1:])
