@@ -178,52 +178,63 @@ def main_tpu_wtt(shuffled: bool = False):
     from tpu3drecon.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        import numpy as np
 
-        import jax.numpy as jnp
+    def build():
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            import numpy as np
 
-        from tpu3drecon.dataset.synthetic import (
-            make_sequential_scene,
-            perturb_scene,
-            scene_to_ba_problem,
-        )
-        from tpu3drecon.problems.wtt import wtt_from_flat
+            import jax.numpy as jnp
 
-        t0 = time.time()
-        scene = make_sequential_scene(
-            n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
-        )
-        noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
-        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-        if shuffled:
-            # Photo-tourism-style camera labeling (VERDICT #2): random ids
-            # destroy window locality; the auto RCM relabeling pass inside
-            # wtt_from_flat must recover it.
-            from tpu3drecon.problems.reorder import permute_cameras_flat
+            from tpu3drecon.dataset.synthetic import (
+                make_sequential_scene,
+                perturb_scene,
+                scene_to_ba_problem,
+            )
+            from tpu3drecon.problems.wtt import wtt_from_flat
 
-            rng = np.random.default_rng(99)
-            relabel = rng.permutation(flat.n_cameras)  # perm[new] = old
-            flat = permute_cameras_flat(flat, relabel)
-        wtt = wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
-        if shuffled:
-            assert wtt.cam_rows is not None, "RCM relabeling did not trigger"
-        n_obs = int(sum(float(b.mask.sum()) for b in wtt.buckets))
-        shapes = [
-            (tuple(b.uv.shape), int(b.window)) for b in wtt.buckets
-        ]
-        compact_mb = sum(
-            b.wcam.size * b.wcam.dtype.itemsize for b in wtt.buckets
-        ) / 1e6
-        build_s = time.time() - t0
-        print(
-            f"built sequential BAL-class problem in {build_s:.0f}s: "
-            f"{wtt.n_cameras} cams (c_pad {wtt.c_pad}), "
-            f"{wtt.n_real_points} real points, {n_obs} obs, "
-            f"buckets (uv shape, window)={shapes}, "
-            f"compact one-hots {compact_mb:.0f} MB",
-            flush=True,
-        )
+            scene = make_sequential_scene(
+                n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
+            )
+            noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
+            flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+            if shuffled:
+                # Photo-tourism-style camera labeling (VERDICT #2): random
+                # ids destroy window locality; the auto RCM relabeling pass
+                # inside wtt_from_flat must recover it.
+                from tpu3drecon.problems.reorder import permute_cameras_flat
+
+                rng = np.random.default_rng(99)
+                relabel = rng.permutation(flat.n_cameras)  # perm[new] = old
+                flat = permute_cameras_flat(flat, relabel)
+            return wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
+
+    from tpu3drecon.utils.problem_cache import cached_problem
+
+    t0 = time.time()
+    wtt = cached_problem(
+        "balseq_1712x584_span4_s7_n0.5_pc512_deferred_v1"
+        + ("_shuffled99" if shuffled else ""),
+        build,
+        verbose=True,
+    )
+    if shuffled:
+        assert wtt.cam_rows is not None, "RCM relabeling did not trigger"
+    n_obs = int(sum(float(b.mask.sum()) for b in wtt.buckets))
+    shapes = [
+        (tuple(b.uv.shape), int(b.window)) for b in wtt.buckets
+    ]
+    compact_mb = sum(
+        b.wcam.size * b.wcam.dtype.itemsize for b in wtt.buckets
+    ) / 1e6
+    build_s = time.time() - t0
+    print(
+        f"built sequential BAL-class problem in {build_s:.0f}s: "
+        f"{wtt.n_cameras} cams (c_pad {wtt.c_pad}), "
+        f"{wtt.n_real_points} real points, {n_obs} obs, "
+        f"buckets (uv shape, window)={shapes}, "
+        f"compact one-hots {compact_mb:.0f} MB",
+        flush=True,
+    )
     from tpu3drecon.problems.wtt import expand_onehots
     from tpu3drecon.utils.placement import commit
 

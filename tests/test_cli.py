@@ -58,6 +58,35 @@ def test_solve_bal_track_table_engines(bal_file, tmp_path, engine):
     assert rmse < 0.05
 
 
+def test_solve_bal_wtt_infeasible_falls_back_to_grid(
+    bal_file, tmp_path, monkeypatch, capsys
+):
+    """VERDICT #2: when the windowed layout is infeasible (too little camera
+    locality even after RCM relabeling — wtt.py raises ValueError), the CLI
+    must fall back to the layout-agnostic grid engine and still solve."""
+    import tpu3drecon.problems.wtt as wtt_mod
+
+    def _infeasible(*a, **k):
+        raise ValueError("windowed one-hots would be 99.00 GB (simulated)")
+
+    monkeypatch.setattr(wtt_mod, "wtt_from_flat", _infeasible)
+    out = tmp_path / "solved_fallback.txt"
+    rc = main([
+        "solve-bal", bal_file, "-o", str(out),
+        "--cpu", "--maxiter", "15", "--no-focal", "--f64",
+        "--engine", "wtt",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "falling back to the grid engine" in captured.err
+    from tpu3drecon.io.bal import ba_problem_from_bal
+    from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
+
+    solved, _ = ba_problem_from_bal(str(out))
+    rmse = float(reprojection_rmse(solved, solved.cameras, solved.points3d))
+    assert rmse < 0.05
+
+
 def test_solve_colmap_writeback(tmp_path):
     from tpu3drecon.dataset.synthetic import (
         make_scene,

@@ -212,3 +212,67 @@ class TestPlacement:
         # Idempotent: already-resident leaves pass through untouched.
         out2 = commit(out)
         assert out2["jax"] is out["jax"]
+
+
+class TestProblemCache:
+    def test_miss_then_hit_numpy_leaves(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tpu3drecon.utils.problem_cache import cached_problem
+
+        calls = []
+
+        def build():
+            calls.append(1)
+            return {"a": jnp.arange(5, dtype=jnp.float32), "static": 7}
+
+        out1 = cached_problem("k1_v1", build, cache_dir=tmp_path)
+        out2 = cached_problem("k1_v1", build, cache_dir=tmp_path)
+        assert len(calls) == 1  # second call served from disk
+        assert isinstance(out1["a"], np.ndarray) and isinstance(out2["a"], np.ndarray)
+        np.testing.assert_array_equal(out1["a"], out2["a"])
+        assert out2["static"] == 7
+        # Different key -> rebuild.
+        cached_problem("k2_v1", build, cache_dir=tmp_path)
+        assert len(calls) == 2
+
+    def test_wtt_problem_round_trips(self, tmp_path):
+        """The BAL-scale use case: a full wtt pytree (nested dataclasses,
+        static metadata, deferred one-hots) must survive the numpy-pickle
+        round trip bit-exactly and still solve after placement."""
+        import jax.numpy as jnp
+
+        from tpu3drecon.dataset.synthetic import (
+            make_sequential_scene,
+            perturb_scene,
+            scene_to_ba_problem,
+        )
+        from tpu3drecon.problems.wtt import expand_onehots, wtt_from_flat
+        from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
+        from tpu3drecon.solvers.bundle_adjust import BAConfig
+        from tpu3drecon.utils.placement import commit
+        from tpu3drecon.utils.problem_cache import cached_problem
+
+        scene = make_sequential_scene(n_cameras=12, points_per_camera=40,
+                                      track_span=3, seed=5)
+        noisy = perturb_scene(scene, seed=6, point2d_noise=0.3)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
+
+        def build():
+            return wtt_from_flat(flat, point_chunk=16, defer_onehot=True)
+
+        direct = build()
+        cached_problem("wtt_rt_v1", build, cache_dir=tmp_path)
+        loaded = cached_problem("wtt_rt_v1", lambda: 1 / 0, cache_dir=tmp_path)
+
+        import jax
+
+        for a, b in zip(jax.tree_util.tree_leaves(direct),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        cfg = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=5)
+        solver = make_wtt_ba_solver(cfg)
+        _, _, st_direct = solver(expand_onehots(commit(direct)))
+        _, _, st_loaded = solver(expand_onehots(commit(loaded)))
+        assert float(st_direct.loss) == float(st_loaded.loss)

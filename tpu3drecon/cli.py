@@ -108,9 +108,28 @@ def _solve(problem, args, jax):
 
         from tpu3drecon.utils.placement import commit
 
-        wtt = commit(wtt_from_flat(problem))
-        solver = make_wtt_ba_solver(config, aot=args.aot)
-        run = lambda: solver(wtt)  # noqa: E731
+        try:
+            wtt = commit(wtt_from_flat(problem))
+        except ValueError as e:
+            # Dislocal scene: even after RCM relabeling the camera windows
+            # exceed the one-hot memory budget.  Fall back to the bucketed
+            # grid engine (layout-agnostic) rather than dying.
+            print(
+                f"[tpu3drecon] wtt layout infeasible ({e}); "
+                "falling back to the grid engine",
+                file=sys.stderr,
+            )
+            from tpu3drecon.problems.grid import grid_bucketed_from_flat
+            from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
+
+            grid = commit(grid_bucketed_from_flat(problem))
+            solver = make_pallas_ba_solver(
+                config, interpret=jax.default_backend() != "tpu"
+            )
+            run = lambda: solver(grid)  # noqa: E731
+        else:
+            solver = make_wtt_ba_solver(config, aot=args.aot)
+            run = lambda: solver(wtt)  # noqa: E731
     else:
         solver = make_ba_solver(config)
         run = lambda: solver(problem)  # noqa: E731

@@ -296,15 +296,68 @@ def _offdiag_pair_contribs(jc, jp, vi_rows, np_cam: int) -> list:
     ]
 
 
+def _triu_idx(triu):
+    i_idx = jnp.asarray([i for i, _ in triu])
+    j_idx = jnp.asarray([j for _, j in triu])
+    return i_idx, j_idx
+
+
+def _u_g_contribs_batched(jc, r, np_cam: int, triu) -> jax.Array:
+    """Stacked (n_triu + np_cam, *slot) contribution planes — value- and
+    order-identical to ``_u_g_contribs``, built from two index-batched
+    einsums instead of an unrolled per-plane expression list.
+
+    Program size is why this exists: the unrolled form emits ~165 separate
+    HLO subgraphs (with the coupling planes), which dominated BAL-scale
+    XLA compile time (~350 s / 112 MB serialized executable on the axon
+    plugin).  The einsum form compiles the same math as a handful of
+    fused gather+multiply+reduce ops.  The tiny (len-2) contraction stays
+    a VPU op, so the one-hot MXU reduction downstream is unchanged."""
+    slot = jc.shape[1:]
+    jc2 = jc.reshape((2, np_cam) + slot)
+    i_idx, j_idx = _triu_idx(triu)
+    u = jnp.einsum("ak...,ak...->k...", jc2[:, i_idx], jc2[:, j_idx])
+    g = jnp.einsum("ai...,a...->i...", jc2, r)
+    return jnp.concatenate([u, g], axis=0)
+
+
+def _sym3_rows(v6: jax.Array) -> jax.Array:
+    """(3, 3, *v) symmetric matrix view of 6-plane packing (00 01 02 11 12 22)."""
+    return v6[jnp.asarray([[0, 1, 2], [1, 3, 4], [2, 4, 5]])]
+
+
+def _coupling_offdiag_batched(jc, jp, v6b, np_cam: int, triu,
+                              want_offdiag: bool):
+    """Batched W v_inv W^T planes: the S-diagonal upper-triangle
+    (n_triu, *slot) and, when ``want_offdiag``, the adjacent-slot pair
+    grid (np, np, *slot[:-2], Tb-1, P) for the band preconditioners.
+
+    Same values/order as ``_coupling_contribs`` / ``_offdiag_pair_contribs``
+    (which remain the in-kernel Pallas source of truth); ``v6b`` is the
+    6-plane v_inv shaped broadcast-compatible with the slot axes."""
+    slot = jc.shape[1:]
+    jc2 = jc.reshape((2, np_cam) + slot)
+    jp2 = jp.reshape((2, 3) + slot)
+    w = jnp.einsum("ai...,al...->il...", jc2, jp2)  # (np, 3, *slot)
+    wv = jnp.einsum("ij...,jl...->il...", w, _sym3_rows(v6b))
+    i_idx, j_idx = _triu_idx(triu)
+    coup = jnp.einsum("kl...,kl...->k...", wv[i_idx], w[j_idx])
+    od = None
+    if want_offdiag:
+        od = jnp.einsum(
+            "il...,jl...->ij...", wv[..., :-1, :], w[..., 1:, :]
+        )
+    return coup, od
+
+
 def _unpack_sym(cols: jax.Array, np_cam: int) -> jax.Array:
     """(C, np(np+1)/2) upper-triangle columns -> (C, np, np) symmetric."""
     C = cols.shape[0]
+    i_idx, j_idx = _triu_idx(_triu_pairs(np_cam))
     out = jnp.zeros((C, np_cam, np_cam), cols.dtype)
-    for k, (i, j) in enumerate(_triu_pairs(np_cam)):
-        out = out.at[:, i, j].set(cols[:, k])
-        if i != j:
-            out = out.at[:, j, i].set(cols[:, k])
-    return out
+    out = out.at[:, i_idx, j_idx].set(cols)
+    # Mirror below the diagonal (diagonal entries rewrite the same value).
+    return out.at[:, j_idx, i_idx].set(cols)
 
 
 class TTBucketNormal(NamedTuple):
@@ -472,23 +525,23 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
 
         # Camera-side contributions, one fused one-hot reduce:
         # U upper-triangle planes + gradient planes (+ coupling planes).
-        contribs = _u_g_contribs(jc, r, np_cam, triu)
+        # Batched (einsum) plane production — see _u_g_contribs_batched.
+        contribs = _u_g_contribs_batched(jc, r, np_cam, triu)
+        want_od = config.precond in ("tridiag", "ssor")
         if use_sj:
             # Exact S-diagonal contribution per slot: W v_inv W^T with
             # v_inv broadcast from the point side (free: the table is
             # point-major).
-            vi = [
-                [v_inv[0][None], v_inv[1][None], v_inv[2][None]],
-                [v_inv[1][None], v_inv[3][None], v_inv[4][None]],
-                [v_inv[2][None], v_inv[4][None], v_inv[5][None]],
-            ]
-            contribs += _coupling_contribs(jc, jp, vi, np_cam, triu)
-        reduced = _reduce_to_cams(jnp.stack(contribs), bucket)
+            coup, od = _coupling_offdiag_batched(
+                jc, jp, v_inv, np_cam, triu, want_od
+            )
+            contribs = jnp.concatenate([contribs, coup], axis=0)
+        reduced = _reduce_to_cams(contribs, bucket)
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
         if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
-        if config.precond in ("tridiag", "ssor"):
+        if want_od:
             # S_{c,c+1} blocks from adjacent-slot pairs: mask the pair
             # planes with the PAIR one-hot (both slots real, cams exactly
             # (c, c+1)) — derived from the existing one-hot by a camera
@@ -496,8 +549,7 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
             oh = _flat_onehot(bucket)
             n_cols = oh.shape[1]
             pair_oh = oh[:, : n_cols - pb] * jnp.roll(oh, -1, axis=0)[:, pb:]
-            od = _offdiag_pair_contribs(jc, jp, vi, np_cam)
-            od_flat = jnp.stack(od).reshape(np_cam * np_cam, -1)
+            od_flat = od.reshape(np_cam * np_cam, -1)
             e_cols = e_cols + jnp.einsum("kn,cn->ck", od_flat, pair_oh)
         bucket_normals.append(
             TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)

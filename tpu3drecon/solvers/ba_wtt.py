@@ -40,24 +40,18 @@ from tpu3drecon.problems.wtt import (
 )
 from tpu3drecon.solvers.ba_tt import (
     _cam_table,
-    _coupling_contribs,
-    _offdiag_pair_contribs,
+    _coupling_offdiag_batched,
     _psum,
     _sym3_inv_planes,
     _triu_pairs,
     _tt_blocks,
     _tt_state,
-    _u_g_contribs,
+    _u_g_contribs_batched,
     _unpack_sym,
 )
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, n_cam_params
 from tpu3drecon.solvers.pcg import cho_block_precond, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
-
-# Upper bound on one-hot-contraction output planes per einsum: bounds the
-# transient (k_slab, G, Tb*Pc) operand to ~slab * slots floats so the fused
-# linearization reduce never materializes all ~165 planes at BAL scale.
-_REDUCE_SLAB = 48
 
 
 def _window_idx(bucket: WTTBucket) -> jax.Array:
@@ -94,21 +88,48 @@ def _cam_planes_w(table_pad: jax.Array, bucket: WTTBucket) -> jax.Array:
     return planes.reshape(g, table_pad.shape[1], tb, pc)
 
 
-def _reduce_to_cams_w(planes_list, bucket: WTTBucket, c_pad: int) -> jax.Array:
-    """Sum slot planes (list of (G, Tb, Pc)) into camera rows (c_pad, K).
+def _contrib_plane_budget() -> int:
+    """Transient-byte budget for one linearization contribution chunk.
 
-    Stacks and contracts in slabs of _REDUCE_SLAB planes so the transient
-    einsum operand stays bounded (the fused linearization reduce would
-    otherwise materialize ~165 * slots floats at BAL scale)."""
+    The dominant transients per group-chunk are the batched contribution
+    planes plus their gathered einsum operands (and, for the band
+    preconditioners, the pair grid and the bf16 pair one-hot).  16 GB HBM
+    minus ~2.1 GB resident one-hots and solver state leaves plenty of
+    room for a ~1.2 GB working set; override with TPU3DRECON_PLANE_BYTES."""
+    import os
+
+    return int(os.environ.get("TPU3DRECON_PLANE_BYTES", 1_200_000_000))
+
+
+def _contrib_g_chunk(bucket: WTTBucket, np_cam: int, use_sj: bool,
+                     want_od: bool) -> int:
+    """Group-chunk size keeping the per-chunk transient under budget."""
+    g, _, tb, pc = bucket.uv.shape
+    n_triu = np_cam * (np_cam + 1) // 2
+    # f32 plane-equivalents alive per slot in one chunk: u planes + their
+    # two gathered operands + gradient planes...
+    k_eff = 3 * n_triu + np_cam
+    if use_sj:
+        # ... + coupling planes + W + WV ...
+        k_eff += n_triu + 6 * np_cam
+    if want_od:
+        # ... + the np x np pair grid + the bf16 pair one-hot.
+        k_eff += np_cam * np_cam + bucket.window // 2
+    per_g = tb * pc * 4 * max(k_eff, 1)
+    return max(1, min(g, _contrib_plane_budget() // max(per_g, 1)))
+
+
+def _reduce_to_cams_w(planes: jax.Array, bucket: WTTBucket, c_pad: int) -> jax.Array:
+    """Sum stacked slot planes (K, G, Tb, Pc) into camera rows (c_pad, K):
+    one one-hot dot per bucket (the K-operand comes pre-batched from the
+    einsum contribution helpers, so there is no per-plane program blowup
+    and no slab loop; the ~165-plane transient is ~2.4 GB at BAL scale,
+    well within HBM next to the 2.1 GB one-hots)."""
     widx = _window_idx(bucket)
-    outs = []
-    for lo in range(0, len(planes_list), _REDUCE_SLAB):
-        sl = jnp.stack(planes_list[lo : lo + _REDUCE_SLAB])  # (k_s, G, Tb, Pc)
-        k_s, g, tb, pc = sl.shape
-        outs.append(
-            jnp.einsum("kgn,gwn->gwk", sl.reshape(k_s, g, tb * pc), bucket.onehot)
-        )
-    rows = jnp.concatenate(outs, axis=-1)  # (G, W, K)
+    k, g, tb, pc = planes.shape
+    rows = jnp.einsum(
+        "kgn,gwn->gwk", planes.reshape(k, g, tb * pc), bucket.onehot
+    )
     return _scatter_rows(rows, widx, c_pad)
 
 
@@ -153,7 +174,8 @@ def _w_times_bucket_w(bn: WTTBucketNormal, y_pt: jax.Array, bucket: WTTBucket, c
     yb = y_pt[:, :, None, :]  # (3, G, 1, Pc) broadcast over Tb
     s0 = bn.jp[0] * yb[0] + bn.jp[1] * yb[1] + bn.jp[2] * yb[2]
     s1 = bn.jp[3] * yb[0] + bn.jp[4] * yb[1] + bn.jp[5] * yb[2]
-    z = [bn.jc[i] * s0 + bn.jc[np_cam + i] * s1 for i in range(np_cam)]
+    jc2 = bn.jc.reshape((2, np_cam) + bn.jc.shape[1:])
+    z = jnp.einsum("ai...,a...->i...", jc2, jnp.stack([s0, s1]))
     return _reduce_to_cams_w(z, bucket, c_pad)
 
 
@@ -219,41 +241,62 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         v6_d = v6.at[jnp.asarray([0, 3, 5])].add(damp_pt)
         v_inv = _sym3_inv_planes(v6_d)
 
-        contribs = _u_g_contribs(jc, r, np_cam, triu)
-        if use_sj:
-            # v_inv is (6, G, Pc): broadcast over the Tb axis of the slots.
-            vb = [v_inv[i][:, None, :] for i in range(6)]
-            vi = [
-                [vb[0], vb[1], vb[2]],
-                [vb[1], vb[3], vb[4]],
-                [vb[2], vb[4], vb[5]],
-            ]
-            contribs += _coupling_contribs(jc, jp, vi, np_cam, triu)
-        reduced = _reduce_to_cams_w(contribs, bucket, c_pad)
+        # Batched (einsum) plane production — see ba_tt._u_g_contribs_batched
+        # — chunked along the group axis so the transient plane tensors stay
+        # bounded (~_contrib_plane_budget bytes): the unchunked batched form
+        # needed 18.9 GB of HBM at BAL scale (measured compile OOM), the
+        # per-plane unrolled form compiled for ~350 s.  Chunks are
+        # independent slices of G, so values are bit-identical to the
+        # unchunked computation.
+        want_od = config.precond in ("tridiag", "ssor")
+        g_b, _, tb_b, pc_b = bucket.uv.shape
+        n_b = tb_b * pc_b
+        gc = _contrib_g_chunk(bucket, np_cam, use_sj, want_od)
+        row_parts = []
+        erow_parts = []
+        for g0 in range(0, g_b, gc):
+            g1 = min(g0 + gc, g_b)
+            jc_s, jp_s, r_s = jc[:, g0:g1], jp[:, g0:g1], r[:, g0:g1]
+            oh_s = bucket.onehot[g0:g1]
+            contribs = _u_g_contribs_batched(jc_s, r_s, np_cam, triu)
+            if use_sj:
+                # v_inv is (6, G, Pc): broadcast over the Tb slot axis.
+                coup, od = _coupling_offdiag_batched(
+                    jc_s, jp_s, v_inv[:, g0:g1, None, :], np_cam, triu,
+                    want_od,
+                )
+                contribs = jnp.concatenate([contribs, coup], axis=0)
+            k = contribs.shape[0]
+            row_parts.append(jnp.einsum(
+                "kgn,gwn->gwk", contribs.reshape(k, g1 - g0, n_b), oh_s
+            ))
+            if want_od:
+                # S_{c,c+1} blocks from adjacent-slot pairs (exactly as the
+                # tt engine, ba_tt._linearize): window-relative here, so the
+                # pair one-hot rolls along the WINDOW axis and the reduction
+                # tile-scatters like every other camera reduction.  Track
+                # camera lists are strictly increasing, so the wrap row
+                # (w = W-1 paired with w = 0) is identically zero.
+                pair_oh = (
+                    oh_s[:, :, : n_b - pc_b]
+                    * jnp.roll(oh_s, -1, axis=1)[:, :, pc_b:]
+                )
+                od_flat = od.reshape(
+                    np_cam * np_cam, g1 - g0, (tb_b - 1) * pc_b
+                )
+                erow_parts.append(jnp.einsum("kgn,gwn->gwk", od_flat, pair_oh))
+        widx = _window_idx(bucket)
+        reduced = _scatter_rows(
+            jnp.concatenate(row_parts, axis=0), widx, c_pad
+        )
         u_cols = u_cols + reduced[:, :n_triu]
         g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
         if use_sj:
             coup_cols = coup_cols + reduced[:, n_triu + np_cam : 2 * n_triu + np_cam]
-        if config.precond in ("tridiag", "ssor"):
-            # S_{c,c+1} blocks from adjacent-slot pairs (exactly as the tt
-            # engine, ba_tt._linearize): window-relative here, so the pair
-            # one-hot rolls along the WINDOW axis and the reduction
-            # tile-scatters like every other camera reduction.  Track
-            # camera lists are strictly increasing, so the wrap row
-            # (w = W-1 paired with w = 0) is identically zero.
-            g_b, _, tb_b, pc_b = bucket.uv.shape
-            n_b = tb_b * pc_b
-            oh = bucket.onehot
-            pair_oh = (
-                oh[:, :, : n_b - pc_b]
-                * jnp.roll(oh, -1, axis=1)[:, :, pc_b:]
+        if want_od:
+            e_cols = e_cols + _scatter_rows(
+                jnp.concatenate(erow_parts, axis=0), widx, c_pad
             )
-            od = _offdiag_pair_contribs(jc, jp, vi, np_cam)
-            od_flat = jnp.stack(od).reshape(
-                np_cam * np_cam, g_b, (tb_b - 1) * pc_b
-            )
-            rows = jnp.einsum("kgn,gwn->gwk", od_flat, pair_oh)
-            e_cols = e_cols + _scatter_rows(rows, _window_idx(bucket), c_pad)
         bucket_normals.append(
             WTTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
