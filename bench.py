@@ -114,12 +114,13 @@ def main(force_cpu: bool = False) -> None:
             problem = commit(tt_from_flat(flat_host))
             # AOT executable cache: later processes skip XLA compilation
             # entirely (the jax persistent cache never hits on this TPU
-            # plugin — RESULTS.md round 2).  kernels=True = Pallas-fused
-            # linearization (ops/pallas/tt_linearize.py), measured ~4-6%
-            # under the XLA linearization in interleaved A/B
-            # (experiments/tpu_tt_fused.py, RESULTS.md round 3); the
-            # fully-fused matvec path measured SLOWER and stays opt-in.
-            solver = make_tt_ba_solver(BENCH_CONFIG, aot=True, kernels=True)
+            # plugin — RESULTS.md round 2).  kernels=False: since the
+            # batched (diagonal-slice) linearization landed, the plain XLA
+            # path beats the Pallas fused-linearization kernels in
+            # interleaved A/B (best 0.1443 vs 0.1497, median 0.1499 vs
+            # 0.1572 — experiments/tpu_tt_fused.py, RESULTS.md round 3);
+            # the fused paths stay available via make_tt_ba_solver(kernels=).
+            solver = make_tt_ba_solver(BENCH_CONFIG, aot=True)
             compile_s, times, (cams, pts, state) = timed_solve_stats(
                 solver, problem, repeats=reps
             )

@@ -294,7 +294,16 @@ def main_tpu_wtt(shuffled: bool = False):
             }), flush=True)
         return
 
-    config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-4)
+    # "fixedcg" mode: cg_rtol=0 forces exactly cg_maxiter CG iterations per
+    # LM step — a trajectory-independent s/LM-iter (the default early-exit
+    # rtol makes runtime depend on how hard each step's linear system is,
+    # which shifts with f32 accumulation-order changes between code
+    # versions; see RESULTS.md round 3).
+    fixed = len(sys.argv) > 2 and sys.argv[2] == "fixedcg"
+    config = BAConfig(
+        maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8,
+        cg_rtol=0.0 if fixed else 1e-4,
+    )
     aot = len(sys.argv) > 2 and sys.argv[2] == "aot"
     solver = make_wtt_ba_solver(config, aot=aot)
     t0 = time.time()
@@ -309,7 +318,7 @@ def main_tpu_wtt(shuffled: bool = False):
     run_s = time.time() - t0
     print(json.dumps({
         "mode": "tpu_wtt_shuffled" if shuffled else "tpu_wtt_single_chip",
-        "aot": aot, "cams": int(wtt.n_cameras),
+        "aot": aot, "fixed_cg": fixed, "cams": int(wtt.n_cameras),
         "points": int(wtt.n_real_points), "obs": n_obs, "lm_iters": 3,
         "build_s": round(build_s, 1), "transfer_s": round(transfer_s, 1),
         "expand_s": round(expand_s, 1),

@@ -44,6 +44,37 @@ def test_miss_then_hit_same_results(cache_dir):
         pytest.skip("backend does not support executable serialization")
 
 
+def test_size_cap_skips_store_and_load(cache_dir, monkeypatch):
+    """Entries above TPU3DRECON_AOT_MAX_BYTES are neither stored nor
+    reloaded: measured on the axon TPU plugin, first execution of a large
+    (>100 MB) deserialized executable re-pays the whole server-side
+    compile or aborts the backend, so large programs must recompile."""
+    @jax.jit
+    def f(x):
+        return x @ x + 1.0
+
+    x = jnp.full((64, 64), 0.5)
+    expected = np.asarray(f(x))
+
+    # Cap below any real payload -> store is skipped.
+    monkeypatch.setenv("TPU3DRECON_AOT_MAX_BYTES", "10")
+    c1 = aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c1(x)), expected, rtol=1e-6)
+    assert aot_cache.entry_count(cache_dir) == 0
+
+    # Store normally, then shrink the cap -> load is skipped (recompile),
+    # and the oversized entry is left in place for higher-cap processes.
+    monkeypatch.setenv("TPU3DRECON_AOT_MAX_BYTES", str(64_000_000))
+    aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    stored = aot_cache.entry_count(cache_dir)
+    if stored == 0:
+        pytest.skip("backend does not support executable serialization")
+    monkeypatch.setenv("TPU3DRECON_AOT_MAX_BYTES", "10")
+    c3 = aot_cache.cached_compile(f, x, cache_dir=cache_dir)
+    np.testing.assert_allclose(np.asarray(c3(x)), expected, rtol=1e-6)
+    assert aot_cache.entry_count(cache_dir) == stored
+
+
 def test_fingerprint_sensitive_to_shape_and_code(cache_dir):
     @jax.jit
     def f(x):

@@ -240,7 +240,13 @@ def _sym3_matvec(m6: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def _triu_pairs(np_cam: int):
-    return [(i, j) for i in range(np_cam) for j in range(i, np_cam)]
+    """Upper-triangle (i, j) pairs in DIAGONAL-major order: all (i, i)
+    first, then (i, i+1), ... — so the batched contribution producers can
+    slice ``planes[:np-d] * planes[d:]`` per diagonal (zero-copy views)
+    instead of gathering per-pair index arrays.  Every producer/consumer
+    (XLA batched forms, Pallas kernels, ``_unpack_sym``) takes its order
+    from this one function, so the order is a private convention."""
+    return [(i, i + d) for d in range(np_cam) for i in range(np_cam - d)]
 
 
 def _u_g_contribs(jc, r, np_cam: int, triu) -> list:
@@ -304,20 +310,30 @@ def _triu_idx(triu):
 
 def _u_g_contribs_batched(jc, r, np_cam: int, triu) -> jax.Array:
     """Stacked (n_triu + np_cam, *slot) contribution planes — value- and
-    order-identical to ``_u_g_contribs``, built from two index-batched
-    einsums instead of an unrolled per-plane expression list.
+    order-identical to ``_u_g_contribs``, built from index-batched
+    broadcast multiply-adds instead of an unrolled per-plane expression
+    list.
 
     Program size is why this exists: the unrolled form emits ~165 separate
     HLO subgraphs (with the coupling planes), which dominated BAL-scale
     XLA compile time (~350 s / 112 MB serialized executable on the axon
-    plugin).  The einsum form compiles the same math as a handful of
-    fused gather+multiply+reduce ops.  The tiny (len-2) contraction stays
-    a VPU op, so the one-hot MXU reduction downstream is unchanged."""
+    plugin).  The batched form compiles the same math as a handful of
+    gather+multiply+add ops over big tensors.
+
+    The tiny length-2/3 contractions are spelled as EXPLICIT mul+add, not
+    einsum: ``jnp.einsum`` lowers them to ``dot_general``s whose 2-wide
+    contraction pads to the 128-lane MXU — measured 2.9x slower end to
+    end at BAL scale (0.379 vs 0.132 s/LM-iter).  Elementwise keeps them
+    on the VPU; the real one-hot MXU reduction downstream is unchanged."""
     slot = jc.shape[1:]
     jc2 = jc.reshape((2, np_cam) + slot)
-    i_idx, j_idx = _triu_idx(triu)
-    u = jnp.einsum("ak...,ak...->k...", jc2[:, i_idx], jc2[:, j_idx])
-    g = jnp.einsum("ai...,a...->i...", jc2, r)
+    # Diagonal-major pair production (matches _triu_pairs order): slices,
+    # not index gathers — gathered operands cost extra HBM round trips.
+    u = jnp.concatenate([
+        jc2[0, : np_cam - d] * jc2[0, d:] + jc2[1, : np_cam - d] * jc2[1, d:]
+        for d in range(np_cam)
+    ], axis=0)
+    g = jc2[0] * r[0][None] + jc2[1] * r[1][None]
     return jnp.concatenate([u, g], axis=0)
 
 
@@ -334,19 +350,43 @@ def _coupling_offdiag_batched(jc, jp, v6b, np_cam: int, triu,
 
     Same values/order as ``_coupling_contribs`` / ``_offdiag_pair_contribs``
     (which remain the in-kernel Pallas source of truth); ``v6b`` is the
-    6-plane v_inv shaped broadcast-compatible with the slot axes."""
+    6-plane v_inv shaped broadcast-compatible with the slot axes.  All
+    tiny contractions are explicit mul+add chains (see
+    ``_u_g_contribs_batched`` for why einsum is banned here)."""
     slot = jc.shape[1:]
     jc2 = jc.reshape((2, np_cam) + slot)
     jp2 = jp.reshape((2, 3) + slot)
-    w = jnp.einsum("ai...,al...->il...", jc2, jp2)  # (np, 3, *slot)
-    wv = jnp.einsum("ij...,jl...->il...", w, _sym3_rows(v6b))
-    i_idx, j_idx = _triu_idx(triu)
-    coup = jnp.einsum("kl...,kl...->k...", wv[i_idx], w[j_idx])
+    # w[i, l] = sum_a jc2[a, i] * jp2[a, l]  -> (np, 3, *slot)
+    w = jc2[0][:, None] * jp2[0][None, :] + jc2[1][:, None] * jp2[1][None, :]
+    vi = _sym3_rows(v6b)  # (3, 3, *broadcastable)
+    # Right-align vi's slot dims against the full slot rank (einsum's
+    # ellipsis did this implicitly; raw broadcasting needs explicit 1s).
+    while vi.ndim - 2 < len(slot):
+        vi = vi[:, :, None]
+    # wv[i, l] = sum_j w[i, j] * vi[j, l]
+    wv = (
+        w[:, 0:1] * vi[0][None]
+        + w[:, 1:2] * vi[1][None]
+        + w[:, 2:3] * vi[2][None]
+    )
+    # coup[(i, j)] = sum_l wv[i, l] * w[j, l], diagonal-major like
+    # _triu_pairs — slices, not index gathers.
+    coup = jnp.concatenate([
+        wv[: np_cam - d, 0] * w[d:, 0]
+        + wv[: np_cam - d, 1] * w[d:, 1]
+        + wv[: np_cam - d, 2] * w[d:, 2]
+        for d in range(np_cam)
+    ], axis=0)
     od = None
     if want_offdiag:
-        od = jnp.einsum(
-            "il...,jl...->ij...", wv[..., :-1, :], w[..., 1:, :]
-        )
+        # od[i, j] = sum_l wv[i, l, ..., :-1, :] * w[j, l, ..., 1:, :];
+        # accumulated per l so the transient stays (np, np, *slot), not
+        # (np, np, 3, *slot).
+        wva = wv[..., :-1, :]
+        wb = w[..., 1:, :]
+        od = wva[:, None, 0] * wb[None, :, 0]
+        od = od + wva[:, None, 1] * wb[None, :, 1]
+        od = od + wva[:, None, 2] * wb[None, :, 2]
     return coup, od
 
 

@@ -175,7 +175,8 @@ def _w_times_bucket_w(bn: WTTBucketNormal, y_pt: jax.Array, bucket: WTTBucket, c
     s0 = bn.jp[0] * yb[0] + bn.jp[1] * yb[1] + bn.jp[2] * yb[2]
     s1 = bn.jp[3] * yb[0] + bn.jp[4] * yb[1] + bn.jp[5] * yb[2]
     jc2 = bn.jc.reshape((2, np_cam) + bn.jc.shape[1:])
-    z = jnp.einsum("ai...,a...->i...", jc2, jnp.stack([s0, s1]))
+    # Explicit mul+add, not einsum: a 2-wide dot_general wastes the MXU.
+    z = jc2[0] * s0[None] + jc2[1] * s1[None]
     return _reduce_to_cams_w(z, bucket, c_pad)
 
 

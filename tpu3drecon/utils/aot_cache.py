@@ -135,6 +135,20 @@ def lowered_fingerprint(lowered) -> str:
     return h.hexdigest()[:32]
 
 
+def _max_entry_bytes() -> int:
+    """Entries above this size are neither stored nor reloaded.
+
+    MEASURED on the axon TPU plugin: a 46 MB serialized solver (bench
+    scale) deserializes in ~1 s and runs immediately — the verified win
+    this cache exists for.  112-140 MB whole-solver executables (BAL
+    scale) deserialize quickly but the FIRST execution either re-pays the
+    entire server-side compile (~320 s, worse than compiling fresh) or
+    aborts the TPU backend outright ("ABORTED: TPU backend error").  With
+    the batched linearization the BAL program compiles in ~22 s anyway,
+    so large programs just recompile."""
+    return int(os.environ.get("TPU3DRECON_AOT_MAX_BYTES", 64_000_000))
+
+
 def _load_entry(path: Path, verbose: bool, label: str, prefix_s: float = 0.0):
     """Deserialize one cache entry; returns the loaded executable or None
     (deleting the entry if it is corrupt/stale)."""
@@ -144,6 +158,15 @@ def _load_entry(path: Path, verbose: bool, label: str, prefix_s: float = 0.0):
     from jax.experimental.serialize_executable import deserialize_and_load
 
     try:
+        if path.stat().st_size > _max_entry_bytes():
+            if verbose:
+                print(
+                    f"aot_cache: skip oversized entry {path.name} "
+                    f"({path.stat().st_size / 1e6:.0f} MB > cap; axon "
+                    "first-exec of large deserialized executables "
+                    "recompiles or aborts — recompiling fresh)"
+                )
+            return None
         t0 = time.perf_counter()
         with open(path, "rb") as f:
             entry = pickle.load(f)
@@ -242,6 +265,15 @@ def cached_compile(
     if path is not None:
         try:
             payload, in_tree, out_tree = serialize(compiled)
+            if len(payload) > _max_entry_bytes():
+                if verbose:
+                    print(
+                        f"aot_cache: not storing {path.name} "
+                        f"({len(payload) / 1e6:.0f} MB > cap — large "
+                        "deserialized executables are pathological on the "
+                        "axon plugin; see _max_entry_bytes)"
+                    )
+                return compiled
             try:
                 n_dev = len(compiled._executable.xla_executable.local_devices())
             except AttributeError:
