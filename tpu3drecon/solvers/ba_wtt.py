@@ -91,14 +91,17 @@ def _cam_planes_w(table_pad: jax.Array, bucket: WTTBucket) -> jax.Array:
 def _contrib_plane_budget() -> int:
     """Transient-byte budget for one linearization contribution chunk.
 
-    The dominant transients per group-chunk are the batched contribution
-    planes plus their gathered einsum operands (and, for the band
-    preconditioners, the pair grid and the bf16 pair one-hot).  16 GB HBM
-    minus ~2.1 GB resident one-hots and solver state leaves plenty of
-    room for a ~1.2 GB working set; override with TPU3DRECON_PLANE_BYTES."""
+    Interleaved sweep at BAL scale (experiments/tpu_wtt_chunk_ab.py,
+    fixed 8-iteration CG): 0.3 GB -> 0.143 s/LM-iter, 1.2 GB -> 0.150,
+    2.4 GB -> 0.131, 4.8 GB -> 0.128 (schur_jacobi path runs unchunked at
+    4.8 GB and matches the pre-batching runtime; every setting compiled in
+    20-30 s).  The explicit mul+add planes fit where the einsum form
+    OOM'd, so the budget mainly buys fewer concat copies / bigger dots.
+    The band-precondition path's higher k_eff automatically re-chunks
+    under the same budget.  Override with TPU3DRECON_PLANE_BYTES."""
     import os
 
-    return int(os.environ.get("TPU3DRECON_PLANE_BYTES", 1_200_000_000))
+    return int(os.environ.get("TPU3DRECON_PLANE_BYTES", 4_800_000_000))
 
 
 def _contrib_g_chunk(bucket: WTTBucket, np_cam: int, use_sj: bool,
