@@ -76,6 +76,11 @@ class BAConfig(NamedTuple):
     #                   D and S_{c,c+1} band — SPD by construction, no
     #                   guard; measured 1.7x fewer PCG iters than
     #                   schur_jacobi on sequential scenes.  tt/wtt only.
+    #                   TPU wall-clock guidance (RESULTS.md round 3): at
+    #                   100-256 cams schur_jacobi reaches any target RMSE
+    #                   faster; at BAL scale (1712 cams, sequential) ssor
+    #                   is ~2x faster to every loss target — use ssor for
+    #                   large (>=~1000 cams) sequential scenes.
     precond: str = "schur_jacobi"
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
