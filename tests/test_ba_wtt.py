@@ -169,6 +169,21 @@ class TestWTTSolve:
         )
         np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
 
+    def test_matvec_kernel_step_equivalent(self, wtt_problem):
+        """The single-pass Pallas PCG matvec (ops/pallas/wtt_matvec.py,
+        interpret mode here) must reproduce the XLA two-pass trajectory."""
+        config = BAConfig(
+            maxiter=5, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=1e-10,
+        )
+        _, _, st_x = ba_solve_wtt(wtt_problem, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt_problem, config._replace(matvec_kernel=True)
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
+
     def test_converges_to_gt_rmse(self, seq_problem, wtt_problem):
         # The line-trajectory scene is gauge-weak (cameras nearly collinear,
         # tracks of <=3), so LM converges linearly here: loss reaches ~1e-10

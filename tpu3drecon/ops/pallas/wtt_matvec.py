@@ -1,0 +1,171 @@
+"""Pallas kernel: single-pass Schur-complement coupling matvec (wtt).
+
+The XLA wtt PCG matvec streams each bucket's one-hot tensor TWICE per
+CG iteration — once for the (W^T x) window contraction and once for the
+(W y) camera reduction — plus two reads of jc/jp.  At BAL scale that is
+~4.9 GB per CG iteration (2.09 GB bf16 one-hots + 0.4 GB jc/jp, twice),
+the dominant share of the 0.128 s/LM-iter solve (8 CG iterations).
+
+This kernel computes the WHOLE coupling product W V^-1 W^T x for one
+bucket in a single pass: per (group, point-block) grid step the one-hot
+tile is DMA'd into VMEM once and used by BOTH phases —
+
+  phase 1 (per track row t): xg = xw @ oh_t on the MXU, the jc/jp
+  weighted reduction accumulates (W^T x) over t;
+  y = v_inv (sym3) @ wtx in registers;
+  phase 2 (same VMEM tiles): z_t = jc * (jp y), rows += z_t @ oh_t^T.
+
+HBM traffic per matvec: one-hot + jc + jp read ONCE (the fused-full tt
+path kept two passes in separate kernels, which is why it measured
+slower than XLA — same stream count plus kernel overhead).
+
+Values are step-equivalent to solvers/ba_wtt._wt_times_bucket_w /
+_w_times_bucket_w (asserted in tests/test_ba_wtt.py); f32 accumulation
+order differs (sum-over-t interleaving), which is within the engines'
+documented f32 trajectory variance.
+
+No reference counterpart: the reference materializes dense Jacobians
+(src/reconstruction/bundle_adjustment/bundle_adjustment.py:83-91).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NB = 512
+
+
+def _matvec_kernel(
+    xw_ref,  # (1, np, W) window rows of x for this group
+    oh_ref,  # (1, W, Tb, NB) one-hot tile (bf16/f32)
+    jc_ref,  # (2*np, 1, Tb, NB)
+    jp_ref,  # (6, 1, Tb, NB)
+    vinv_ref,  # (1, 6, NB) — group-major so the block's last-two dims
+    #            are (6 = full, NB); Mosaic rejects a middle dim of 1
+    out_ref,  # (1, np, W) coupling rows, accumulated over j
+    *,
+    np_cam: int,
+    tb: int,
+):
+    j = pl.program_id(1)
+    acc_t = xw_ref.dtype
+    xw = xw_ref[0]  # (np, W)
+
+    # Phase 1: (W^T x) accumulated over track rows.
+    wtx = [None, None, None]
+    oh_tiles = []
+    jc0_tiles = []
+    jc1_tiles = []
+    jp_tiles = []
+    for t in range(tb):
+        oh = oh_ref[0, :, t, :].astype(acc_t)  # (W, NB)
+        oh_tiles.append(oh)
+        xg = jax.lax.dot_general(
+            xw, oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        )  # (np, NB)
+        jc0 = jc_ref[:np_cam, 0, t, :]
+        jc1 = jc_ref[np_cam:, 0, t, :]
+        jc0_tiles.append(jc0)
+        jc1_tiles.append(jc1)
+        s0 = jnp.sum(jc0 * xg, axis=0)  # (NB,)
+        s1 = jnp.sum(jc1 * xg, axis=0)
+        jp_t = jp_ref[:, 0, t, :]  # (6, NB)
+        jp_tiles.append(jp_t)
+        for l in range(3):
+            part = jp_t[l] * s0 + jp_t[3 + l] * s1
+            wtx[l] = part if wtx[l] is None else wtx[l] + part
+
+    # y = v_inv (sym3 plane form) @ wtx.
+    v = vinv_ref[0]  # (6, NB)
+    y0 = v[0] * wtx[0] + v[1] * wtx[1] + v[2] * wtx[2]
+    y1 = v[1] * wtx[0] + v[3] * wtx[1] + v[4] * wtx[2]
+    y2 = v[2] * wtx[0] + v[4] * wtx[1] + v[5] * wtx[2]
+
+    # Phase 2: (W y) rows from the SAME VMEM tiles.
+    acc = None
+    for t in range(tb):
+        jp_t = jp_tiles[t]
+        s0p = jp_t[0] * y0 + jp_t[1] * y1 + jp_t[2] * y2
+        s1p = jp_t[3] * y0 + jp_t[4] * y1 + jp_t[5] * y2
+        z = jc0_tiles[t] * s0p[None] + jc1_tiles[t] * s1p[None]  # (np, NB)
+        part = jax.lax.dot_general(
+            z, oh_tiles[t],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_t,
+        )  # (np, W)
+        acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_cam", "tb", "pc", "window", "interpret")
+)
+def wtt_coupling_rows_fused(
+    xw_t: jax.Array,  # (G, np, W) transposed window rows of x_pad
+    onehot: jax.Array,  # (G, W, Tb*Pc)
+    jc: jax.Array,  # (2np, G, Tb, Pc)
+    jp: jax.Array,  # (6, G, Tb, Pc)
+    v_inv: jax.Array,  # (6, G, Pc)
+    np_cam: int,
+    tb: int,
+    pc: int,
+    window: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Coupling rows (G, np, W) = per-group windowed W V^-1 W^T x."""
+    g = onehot.shape[0]
+    w = window
+    dtype = xw_t.dtype
+    if pc % _NB == 0:
+        nb = _NB
+    else:
+        if not interpret and pc % 128 != 0:
+            raise ValueError(
+                f"wtt matvec kernel needs point-chunk padding divisible by "
+                f"128 on TPU (got Pc={pc}); repack with point_chunk>=128"
+            )
+        nb = pc
+    jb = pc // nb
+
+    kernel = functools.partial(_matvec_kernel, np_cam=np_cam, tb=tb)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(g, jb),
+        in_specs=[
+            pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, tb, nb), lambda gg, j: (gg, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * np_cam, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, np_cam, w), dtype),
+        interpret=interpret,
+    )(
+        xw_t,
+        onehot.reshape(g, w, tb, pc),
+        jc,
+        jp,
+        jnp.transpose(v_inv, (1, 0, 2)),  # (G, 6, Pc)
+    )
+    return rows

@@ -183,12 +183,30 @@ def _w_times_bucket_w(bn: WTTBucketNormal, y_pt: jax.Array, bucket: WTTBucket, c
     return _reduce_to_cams_w(z, bucket, c_pad)
 
 
-def _schur_matvec(nb: WTTNormal, x_pad, problem: BAWTTProblem, axis_name=None):
+def _schur_matvec(nb: WTTNormal, x_pad, problem: BAWTTProblem, axis_name=None,
+                  use_kernel: bool = False, interpret: bool = False):
     coup = jnp.zeros_like(x_pad)
     for bn, bucket in zip(nb.buckets, problem.buckets):
-        wtx = _wt_times_bucket_w(bn, x_pad, bucket)
-        vw = _sym3_matvec_g(bn.v_inv, wtx)
-        coup = coup + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
+        if use_kernel:
+            # Single-pass Pallas kernel: one-hot + jc/jp streamed ONCE per
+            # matvec instead of twice (ops/pallas/wtt_matvec.py).
+            from tpu3drecon.ops.pallas.wtt_matvec import wtt_coupling_rows_fused
+
+            np_cam = bn.jc.shape[0] // 2
+            g, _, tb, pc = bucket.uv.shape
+            widx = _window_idx(bucket)
+            xw_t = jnp.transpose(_window_rows(x_pad, widx), (0, 2, 1))
+            rows = wtt_coupling_rows_fused(
+                xw_t, bucket.onehot, bn.jc, bn.jp, bn.v_inv,
+                np_cam, tb, pc, int(bucket.window), interpret=interpret,
+            )
+            coup = coup + _scatter_rows(
+                jnp.transpose(rows, (0, 2, 1)), widx, problem.c_pad
+            )
+        else:
+            wtx = _wt_times_bucket_w(bn, x_pad, bucket)
+            vw = _sym3_matvec_g(bn.v_inv, wtx)
+            coup = coup + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
     return jnp.einsum("cij,cj->ci", nb.u, x_pad) - _psum(coup, axis_name)
 
 
@@ -343,7 +361,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
 
 
 def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
-         axis_name=None):
+         axis_name=None, use_kernel: bool = False, interpret: bool = False):
     if nb.tridiag is not None:
         from tpu3drecon.solvers.tridiag import (
             SSORFactor,
@@ -360,7 +378,8 @@ def _pcg(nb: WTTNormal, b: jax.Array, problem: BAWTTProblem, maxiter, rtol,
     else:
         precond = cho_block_precond(nb.u_chol)
     out = pcg(
-        lambda p: _schur_matvec(nb, p, problem, axis_name),
+        lambda p: _schur_matvec(nb, p, problem, axis_name,
+                                use_kernel=use_kernel, interpret=interpret),
         precond,
         b, maxiter, rtol,
     )
@@ -461,7 +480,9 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
             b = b + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
         b = _psum(b, axis_name) - nb.g_cam
         dc, cg_iters = _pcg(
-            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name
+            nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name,
+            use_kernel=config.matvec_kernel,
+            interpret=config.matvec_kernel and jax.default_backend() != "tpu",
         )
 
         dps = []

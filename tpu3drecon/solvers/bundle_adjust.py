@@ -82,6 +82,13 @@ class BAConfig(NamedTuple):
     #                   is ~2x faster to every loss target — use ssor for
     #                   large (>=~1000 cams) sequential scenes.
     precond: str = "schur_jacobi"
+    # wtt engine only: compute the PCG coupling matvec W V^-1 W^T x with
+    # the single-pass Pallas kernel (ops/pallas/wtt_matvec.py) — the
+    # one-hot and jc/jp tensors stream from HBM once per CG iteration
+    # instead of twice (the dominant cost at BAL scale).  Off by default
+    # pending interleaved TPU A/B; step-equivalent either way
+    # (tests/test_ba_wtt.py).
+    matvec_kernel: bool = False
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
     # (complex64 gathers hit an XLA slow path) — keep False; the code path
