@@ -129,25 +129,14 @@ def main_cpu8_wtt():
 
     jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) == 8, jax.devices()
-    import jax.numpy as jnp
-
-    from tpu3drecon.dataset.synthetic import (
-        make_sequential_scene,
-        perturb_scene,
-        scene_to_ba_problem,
-    )
+    from tpu3drecon.benchmark.balscale import bal_sequential_wtt
     from tpu3drecon.parallel.mesh import make_mesh
     from tpu3drecon.parallel.sharded_wtt import ba_solve_wtt_sharded
-    from tpu3drecon.problems.wtt import wtt_from_flat
+    from tpu3drecon.problems.wtt import expand_onehots
     from tpu3drecon.solvers.bundle_adjust import BAConfig
 
     t0 = time.time()
-    scene = make_sequential_scene(
-        n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
-    )
-    noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
-    flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-    wtt = wtt_from_flat(flat, point_chunk=512, chunk_multiple=8)
+    wtt = expand_onehots(bal_sequential_wtt(chunk_multiple=8))
     print(
         f"built sequential BAL-class problem in {time.time()-t0:.0f}s: "
         f"{wtt.n_cameras} cams, {wtt.n_real_points} pts, groups="
@@ -179,44 +168,10 @@ def main_tpu_wtt(shuffled: bool = False):
 
     enable_compilation_cache()
 
-    def build():
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            import numpy as np
-
-            import jax.numpy as jnp
-
-            from tpu3drecon.dataset.synthetic import (
-                make_sequential_scene,
-                perturb_scene,
-                scene_to_ba_problem,
-            )
-            from tpu3drecon.problems.wtt import wtt_from_flat
-
-            scene = make_sequential_scene(
-                n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
-            )
-            noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
-            flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-            if shuffled:
-                # Photo-tourism-style camera labeling (VERDICT #2): random
-                # ids destroy window locality; the auto RCM relabeling pass
-                # inside wtt_from_flat must recover it.
-                from tpu3drecon.problems.reorder import permute_cameras_flat
-
-                rng = np.random.default_rng(99)
-                relabel = rng.permutation(flat.n_cameras)  # perm[new] = old
-                flat = permute_cameras_flat(flat, relabel)
-            return wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
-
-    from tpu3drecon.utils.problem_cache import cached_problem
+    from tpu3drecon.benchmark.balscale import bal_sequential_wtt
 
     t0 = time.time()
-    wtt = cached_problem(
-        "balseq_1712x584_span4_s7_n0.5_pc512_deferred_v1"
-        + ("_shuffled99" if shuffled else ""),
-        build,
-        verbose=True,
-    )
+    wtt = bal_sequential_wtt(shuffled=shuffled)
     if shuffled:
         assert wtt.cam_rows is not None, "RCM relabeling did not trigger"
     n_obs = int(sum(float(b.mask.sum()) for b in wtt.buckets))

@@ -24,31 +24,12 @@ def main(reps: int = 5) -> None:
     from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
     from tpu3drecon.solvers.bundle_adjust import BAConfig
     from tpu3drecon.utils.placement import commit
-    from tpu3drecon.utils.problem_cache import cached_problem
 
     print("backend:", jax.default_backend(), flush=True)
 
-    def build():
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            import jax.numpy as jnp
+    from tpu3drecon.benchmark.balscale import bal_sequential_wtt
 
-            from tpu3drecon.dataset.synthetic import (
-                make_sequential_scene,
-                perturb_scene,
-                scene_to_ba_problem,
-            )
-            from tpu3drecon.problems.wtt import wtt_from_flat
-
-            scene = make_sequential_scene(
-                n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
-            )
-            noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
-            flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-            return wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
-
-    wtt = cached_problem(
-        "balseq_1712x584_span4_s7_n0.5_pc512_deferred_v1", build, verbose=True
-    )
+    wtt = bal_sequential_wtt()
     wtt = expand_onehots(commit(wtt))
     jax.device_get(wtt.buckets[0].uv[0, 0, 0, 0])
 

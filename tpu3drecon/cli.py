@@ -112,20 +112,30 @@ def _solve(problem, args, jax):
             wtt = commit(wtt_from_flat(problem))
         except ValueError as e:
             # Dislocal scene: even after RCM relabeling the camera windows
-            # exceed the one-hot memory budget.  Fall back to the bucketed
-            # grid engine (layout-agnostic) rather than dying.
+            # exceed the one-hot memory budget.  Fall back to a
+            # layout-agnostic engine rather than dying: the Pallas fused
+            # bucketed-grid engine on TPU (the fastest dislocal path —
+            # RESULTS.md), the plain grid engine elsewhere (Pallas would
+            # run in slow interpret mode off-TPU).
+            fallback = "pallas" if jax.default_backend() == "tpu" else "grid"
             print(
                 f"[tpu3drecon] wtt layout infeasible ({e}); "
-                "falling back to the grid engine",
+                f"falling back to the {fallback} engine",
                 file=sys.stderr,
             )
-            from tpu3drecon.problems.grid import grid_bucketed_from_flat
-            from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
+            args.engine = fallback  # the summary line reports reality
+            if fallback == "pallas":
+                from tpu3drecon.problems.grid import grid_bucketed_from_flat
+                from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
 
-            grid = commit(grid_bucketed_from_flat(problem))
-            solver = make_pallas_ba_solver(
-                config, interpret=jax.default_backend() != "tpu"
-            )
+                grid = commit(grid_bucketed_from_flat(problem))
+                solver = make_pallas_ba_solver(config)
+            else:
+                from tpu3drecon.problems.grid import grid_from_flat
+                from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
+
+                grid = commit(grid_from_flat(problem))
+                solver = make_grid_ba_solver(config)
             run = lambda: solver(grid)  # noqa: E731
         else:
             solver = make_wtt_ba_solver(config, aot=args.aot)

@@ -325,6 +325,9 @@ def _u_g_contribs_batched(jc, r, np_cam: int, triu) -> jax.Array:
     contraction pads to the 128-lane MXU — measured 2.9x slower end to
     end at BAL scale (0.379 vs 0.132 s/LM-iter).  Elementwise keeps them
     on the VPU; the real one-hot MXU reduction downstream is unchanged."""
+    assert list(triu) == _triu_pairs(np_cam), (
+        "batched contribs hardcode the diagonal-major _triu_pairs order"
+    )
     slot = jc.shape[1:]
     jc2 = jc.reshape((2, np_cam) + slot)
     # Diagonal-major pair production (matches _triu_pairs order): slices,
@@ -353,6 +356,9 @@ def _coupling_offdiag_batched(jc, jp, v6b, np_cam: int, triu,
     6-plane v_inv shaped broadcast-compatible with the slot axes.  All
     tiny contractions are explicit mul+add chains (see
     ``_u_g_contribs_batched`` for why einsum is banned here)."""
+    assert list(triu) == _triu_pairs(np_cam), (
+        "batched contribs hardcode the diagonal-major _triu_pairs order"
+    )
     slot = jc.shape[1:]
     jc2 = jc.reshape((2, np_cam) + slot)
     jp2 = jp.reshape((2, 3) + slot)

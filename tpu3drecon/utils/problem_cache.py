@@ -84,15 +84,28 @@ def cached_problem(
     path = d / f"{h}.pkl"
     if path.exists():
         t0 = time.time()
-        with open(path, "rb") as f:
-            obj = pickle.load(f)
-        if verbose:
-            print(
-                f"problem_cache: HIT {path.name} ({key}) "
-                f"load {time.time()-t0:.1f}s",
-                flush=True,
-            )
-        return obj
+        try:
+            with open(path, "rb") as f:
+                obj = pickle.load(f)
+        except Exception as e:
+            # Stale entry (e.g. a cached dataclass gained a field) or a
+            # truncated write: drop it and rebuild instead of crashing
+            # every consumer of this key until someone deletes the file.
+            if verbose:
+                print(f"problem_cache: stale entry {path.name}: {e!r}",
+                      flush=True)
+            try:
+                path.unlink()
+            except OSError:
+                pass
+        else:
+            if verbose:
+                print(
+                    f"problem_cache: HIT {path.name} ({key}) "
+                    f"load {time.time()-t0:.1f}s",
+                    flush=True,
+                )
+            return obj
     obj = _to_numpy(builder())
     d.mkdir(parents=True, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
