@@ -58,6 +58,44 @@ def test_solve_bal_track_table_engines(bal_file, tmp_path, engine):
     assert rmse < 0.05
 
 
+def test_solve_bal_precond_flag(bal_file, tmp_path):
+    """--precond ssor drives the band preconditioner end to end (tt)."""
+    out = tmp_path / "solved_ssor.txt"
+    rc = main([
+        "solve-bal", bal_file, "-o", str(out),
+        "--cpu", "--maxiter", "15", "--no-focal", "--f64",
+        "--engine", "tt", "--precond", "ssor",
+    ])
+    assert rc == 0
+    from tpu3drecon.io.bal import ba_problem_from_bal
+    from tpu3drecon.solvers.bundle_adjust import reprojection_rmse
+
+    solved, _ = ba_problem_from_bal(str(out))
+    rmse = float(reprojection_rmse(solved, solved.cameras, solved.points3d))
+    assert rmse < 0.05
+
+
+def test_precond_auto_selection():
+    """auto = ssor for track-table engines at >=1000 cams (measured
+    guidance, RESULTS.md round 3), schur_jacobi otherwise."""
+    import argparse
+
+    from tpu3drecon.cli import _config
+
+    def mk(engine, precond="auto"):
+        return argparse.Namespace(
+            engine=engine, precond=precond, maxiter=5, cg_maxiter=8,
+            no_focal=False, loss="trivial",
+        )
+
+    assert _config(mk("wtt"), n_cameras=1712).precond == "ssor"
+    assert _config(mk("tt"), n_cameras=1712).precond == "ssor"
+    assert _config(mk("wtt"), n_cameras=100).precond == "schur_jacobi"
+    assert _config(mk("pallas"), n_cameras=1712).precond == "schur_jacobi"
+    assert _config(mk("wtt", "schur_jacobi"), n_cameras=1712).precond == "schur_jacobi"
+    assert _config(mk("tt", "tridiag"), n_cameras=10).precond == "tridiag"
+
+
 def test_solve_bal_wtt_infeasible_falls_back_to_grid(
     bal_file, tmp_path, monkeypatch, capsys
 ):

@@ -32,6 +32,16 @@ def _add_common(p):
     p.add_argument("--no-focal", action="store_true", help="freeze focal lengths")
     p.add_argument("--loss", choices=("trivial", "cauchy"), default="trivial")
     p.add_argument(
+        "--precond",
+        choices=("auto", "schur_jacobi", "ssor", "tridiag", "jacobi_u"),
+        default="auto",
+        help="CG preconditioner for the reduced camera system.  auto "
+        "follows the measured TPU guidance (RESULTS.md round 3): "
+        "block-SSOR for track-table engines at >=1000 cameras (~2x faster "
+        "to any loss target on large sequential scenes), SCHUR_JACOBI "
+        "otherwise",
+    )
+    p.add_argument(
         "--aot", action="store_true",
         help="compile through the persistent AOT executable cache "
         "(utils/aot_cache.py): pays the full XLA compile once per "
@@ -52,10 +62,19 @@ def _setup_backend(args):
     return jax
 
 
-def _config(args):
+def _config(args, n_cameras: int = 0):
     from tpu3drecon.geometry.losses import RobustLoss
     from tpu3drecon.solvers.bundle_adjust import BAConfig
 
+    precond = getattr(args, "precond", "auto")
+    if precond == "auto":
+        # Measured TPU guidance (RESULTS.md round 3): the band information
+        # pays ~2x in time-to-target at BAL-scale camera counts, loses at
+        # 100-256 cams; band preconditioners exist for the tt/wtt engines.
+        if args.engine in ("tt", "wtt") and n_cameras >= 1000:
+            precond = "ssor"
+        else:
+            precond = "schur_jacobi"
     return BAConfig(
         maxiter=args.maxiter,
         cg_maxiter=args.cg_maxiter,
@@ -63,6 +82,7 @@ def _config(args):
         cg_rtol=1e-6,
         optimize_focal=not args.no_focal,
         loss=RobustLoss.CAUCHY if args.loss == "cauchy" else RobustLoss.TRIVIAL,
+        precond=precond,
     )
 
 
@@ -71,7 +91,7 @@ def _solve(problem, args, jax):
 
     from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
 
-    config = _config(args)
+    config = _config(args, n_cameras=int(problem.n_cameras))
     rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
     if args.engine == "pallas":
         from tpu3drecon.problems.grid import grid_bucketed_from_flat, unpermute_points
@@ -124,6 +144,10 @@ def _solve(problem, args, jax):
                 file=sys.stderr,
             )
             args.engine = fallback  # the summary line reports reality
+            if config.precond in ("ssor", "tridiag"):
+                # Band preconditioners are tt/wtt-only (they need the
+                # track-table pair one-hots).
+                config = config._replace(precond="schur_jacobi")
             if fallback == "pallas":
                 from tpu3drecon.problems.grid import grid_bucketed_from_flat
                 from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
