@@ -98,10 +98,21 @@ def _contrib_plane_budget() -> int:
     20-30 s).  The explicit mul+add planes fit where the einsum form
     OOM'd, so the budget mainly buys fewer concat copies / bigger dots.
     The band-precondition path's higher k_eff automatically re-chunks
-    under the same budget.  Override with TPU3DRECON_PLANE_BYTES."""
+    under the same budget.  Override with TPU3DRECON_PLANE_BYTES.
+
+    On the CPU backend the default divides by the device count: virtual
+    multi-device meshes share host RAM, and 8 x 4.8 GB transients crashed
+    the full-scale sharded proof twice before this guard (each real TPU
+    chip has its own HBM, so the TPU default stays per-device)."""
     import os
 
-    return int(os.environ.get("TPU3DRECON_PLANE_BYTES", 4_800_000_000))
+    env = os.environ.get("TPU3DRECON_PLANE_BYTES")
+    if env is not None:
+        return int(env)
+    budget = 4_800_000_000
+    if jax.default_backend() == "cpu":
+        budget //= max(1, jax.local_device_count())
+    return budget
 
 
 def _contrib_g_chunk(bucket: WTTBucket, np_cam: int, use_sj: bool,
