@@ -71,7 +71,7 @@ def _tpu_alive(timeout_s: float = 900.0) -> bool:
     return False  # abandoned, NOT killed
 
 
-def main(force_cpu: bool = False) -> None:
+def main(force_cpu: bool = False, cg: int | None = None) -> None:
     import jax
 
     from tpu3drecon.utils.aot_cache import entry_count as aot_entry_count
@@ -94,6 +94,12 @@ def main(force_cpu: bool = False) -> None:
         timed_solve_stats,
     )
     from tpu3drecon.solvers.bundle_adjust import make_ba_solver, reprojection_rmse
+
+    # --cg N overrides the CG budget on BOTH sides (dynamic operand: the
+    # TPU solver reuses the cg=8 executable).  The headline stays cg=8;
+    # this exists so speed-mode claims (cg=5) carry a same-config CPU
+    # baseline instead of borrowing the cg=8 one.
+    cfg = BENCH_CONFIG if cg is None else BENCH_CONFIG._replace(cg_maxiter=cg)
 
     # TPU reps are cheap (~0.16 s each); CPU ones cost ~6 s — 5 vs 2 reps
     # keeps the TPU median meaningful against its ±10% session drift without
@@ -120,7 +126,7 @@ def main(force_cpu: bool = False) -> None:
             # interleaved A/B (best 0.1443 vs 0.1497, median 0.1499 vs
             # 0.1572 — experiments/tpu_tt_fused.py, RESULTS.md round 3);
             # the fused paths stay available via make_tt_ba_solver(kernels=).
-            solver = make_tt_ba_solver(BENCH_CONFIG, aot=True)
+            solver = make_tt_ba_solver(cfg, aot=True)
             compile_s, times, (cams, pts, state) = timed_solve_stats(
                 solver, problem, repeats=reps
             )
@@ -137,7 +143,7 @@ def main(force_cpu: bool = False) -> None:
             from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
 
             problem = build_grid_problem()
-            solver = make_pallas_ba_solver(BENCH_CONFIG)
+            solver = make_pallas_ba_solver(cfg)
             compile_s, times, (cams, pts, state) = timed_solve_stats(
                 solver, problem, repeats=reps
             )
@@ -151,7 +157,7 @@ def main(force_cpu: bool = False) -> None:
             engine = "flat"
     if engine == "flat":
         problem = build_problem()
-        solver = make_ba_solver(BENCH_CONFIG)
+        solver = make_ba_solver(cfg)
         compile_s, times, (cams, pts, state) = timed_solve_stats(
             solver, problem, repeats=reps
         )
@@ -172,7 +178,7 @@ def main(force_cpu: bool = False) -> None:
 
     baseline_file = pathlib.Path(__file__).parent / ".bench_cpu_baseline.json"
     cpu_baseline_drift = None
-    if force_cpu and not tpu_fell_back:
+    if force_cpu and not tpu_fell_back and cg is None:
         baseline_file.write_text(json.dumps({"cpu_s": round(run_s, 4)}))
     elif baseline_file.exists():
         measured = json.loads(baseline_file.read_text()).get("cpu_s")
@@ -206,6 +212,8 @@ def main(force_cpu: bool = False) -> None:
             "warm_aot_cache": aot_entries_before > 0,
         },
     }
+    if cg is not None:
+        result["extra"]["cg_maxiter"] = cg
     if cpu_baseline_drift is not None:
         result["extra"]["cpu_baseline_drift_warning"] = cpu_baseline_drift
     if fallback_reason is not None:
@@ -216,4 +224,7 @@ def main(force_cpu: bool = False) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(force_cpu="--cpu" in sys.argv)
+    cg = None
+    if "--cg" in sys.argv:
+        cg = int(sys.argv[sys.argv.index("--cg") + 1])
+    main(force_cpu="--cpu" in sys.argv, cg=cg)

@@ -22,6 +22,8 @@ def bal_sequential_wtt(
     shuffled: bool = False,
     chunk_multiple: Optional[int] = None,
     verbose: bool = True,
+    track_span: int = 4,
+    points_per_camera: int = 584,
 ):
     """The cached BAL-scale wtt problem, deferred one-hots, numpy leaves.
 
@@ -47,7 +49,8 @@ def bal_sequential_wtt(
             from tpu3drecon.problems.wtt import wtt_from_flat
 
             scene = make_sequential_scene(
-                n_cameras=1712, points_per_camera=584, track_span=4, seed=7,
+                n_cameras=1712, points_per_camera=points_per_camera,
+                track_span=track_span, seed=7,
             )
             noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
             flat, _ = scene_to_ba_problem(
@@ -66,7 +69,10 @@ def bal_sequential_wtt(
                 flat, point_chunk=512, defer_onehot=True, **kwargs
             )
 
-    key = f"balseq_1712x584_span4_s7_n0.5_pc512_deferred_{_VERSION}"
+    key = (
+        f"balseq_1712x{points_per_camera}_span{track_span}_s7_n0.5_pc512"
+        f"_deferred_{_VERSION}"
+    )
     if shuffled:
         key += "_shuffled99"
     if chunk_multiple is not None:
