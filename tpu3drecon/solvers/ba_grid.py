@@ -55,7 +55,14 @@ def grid_blocks(
     chain factor A = s I + g m m^T — verified equal in tests)."""
     dtype = points3d.dtype
     x_w = points3d[problem.pt_idx]  # (C, K, 3) gather
-    xc = jnp.einsum("cij,ckj->cki", rmats, x_w) + tvecs[:, None, :]
+    # Explicit 3-term rotation apply: a 3-wide einsum contraction lowers to
+    # a dot_general that pads the 128-lane MXU (measured 2.9x end-to-end in
+    # the wtt engine, RESULTS.md round 3); mul+add chains stay on the VPU.
+    xc = (
+        rmats[:, None, :, 0] * x_w[..., 0:1]
+        + rmats[:, None, :, 1] * x_w[..., 1:2]
+        + rmats[:, None, :, 2] * x_w[..., 2:3]
+    ) + tvecs[:, None, :]
     x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1.0, dtype), z)
     iz = 1.0 / z_safe
@@ -131,7 +138,12 @@ def grid_blocks(
         ],
         axis=-2,
     )  # (C, K, 2, 3)
-    jp = jnp.einsum("ckri,cij->ckrj", dpi, rmats)
+    # jp[..., r, j] = sum_i dpi[..., r, i] * rmats[:, i, j] (3 terms).
+    jp = (
+        dpi[..., 0:1] * rmats[:, None, None, 0, :]
+        + dpi[..., 1:2] * rmats[:, None, None, 1, :]
+        + dpi[..., 2:3] * rmats[:, None, None, 2, :]
+    )
 
     sc = scale[..., None]
     return GridBlocks(r=r * sc, jc=jc * sc[..., None], jp=jp * sc[..., None])
@@ -176,8 +188,9 @@ def build_grid_normal(
     r_g = packed_g[..., 3]
     jc_g = blocks.jc.reshape(C * K, 2, 8)[problem.track_idx] * tm
     jp_g2 = jp_g.reshape(P, T * 2, 3)
-    v = jnp.einsum("pni,pnj->pij", jp_g2, jp_g2)
-    g_pt = jnp.einsum("pni,pn->pi", jp_g2, r_g.reshape(P, T * 2))
+    # Tiny 3x3 outputs: broadcast-product + reduce, not batched micro-dots.
+    v = jnp.sum(jp_g2[..., :, None] * jp_g2[..., None, :], axis=1)
+    g_pt = jnp.sum(jp_g2 * r_g.reshape(P, T * 2)[..., None], axis=1)
 
     eye8 = jnp.eye(8, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
@@ -193,9 +206,18 @@ def build_grid_normal(
         # Exact S diagonal blocks (see schur.build_normal_blocks): per-cell
         # W = jc^T jp, then W vinv W^T reduced over the K axis — the vinv
         # gather by pt_idx happens once per linearization, not per matvec.
-        w_cell = jnp.einsum("ckri,ckrj->ckij", blocks.jc, blocks.jp)  # (C,K,8,3)
+        # W = jc^T jp per cell (2-term over the residual rows).
+        w_cell = (
+            blocks.jc[..., 0, :, None] * blocks.jp[..., 0, None, :]
+            + blocks.jc[..., 1, :, None] * blocks.jp[..., 1, None, :]
+        )  # (C,K,8,3)
         vinv_g = v_inv[problem.pt_idx]  # (C,K,3,3)
-        wv = jnp.einsum("ckij,ckjl->ckil", w_cell, vinv_g)
+        # wv[i, l] = sum_j w[i, j] * vinv[j, l] (3 terms).
+        wv = (
+            w_cell[..., 0, None] * vinv_g[..., None, 0, :]
+            + w_cell[..., 1, None] * vinv_g[..., None, 1, :]
+            + w_cell[..., 2, None] * vinv_g[..., None, 2, :]
+        )
         coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
         precond_mat = u_d - coupling
     else:
@@ -218,7 +240,7 @@ def build_grid_normal(
 
 def w_times(nb: GridNormal, y_pt: jax.Array, problem: BAGridProblem) -> jax.Array:
     """(W y)_c — all dense: gather y onto the grid, two tiny contractions."""
-    tmp = jnp.einsum("ckrj,ckj->ckr", nb.jp, y_pt[problem.pt_idx])
+    tmp = jnp.sum(nb.jp * y_pt[problem.pt_idx][:, :, None, :], axis=-1)
     return jnp.einsum("ckri,ckr->ci", nb.jc, tmp)
 
 
@@ -227,14 +249,14 @@ def wt_times(nb: GridNormal, x_cam: jax.Array, problem: BAGridProblem) -> jax.Ar
     per-track camera index instead of gathering a large intermediate, then
     reduces densely over the track axis."""
     x_g = x_cam[problem.track_cam]  # (P, T, 8) from a tiny source
-    s_g = jnp.einsum("ptri,pti->ptr", nb.jc_g, x_g)
-    return jnp.einsum("ptri,ptr->pi", nb.jp_g, s_g)
+    s_g = jnp.sum(nb.jc_g * x_g[:, :, None, :], axis=-1)
+    return jnp.sum(nb.jp_g * s_g[..., None], axis=(1, 2))
 
 
 def schur_matvec(nb: GridNormal, x_cam: jax.Array, problem: BAGridProblem) -> jax.Array:
-    ux = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+    ux = jnp.sum(nb.u * x_cam[:, None, :], axis=-1)
     wtx = wt_times(nb, x_cam, problem)
-    vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+    vinv_wtx = jnp.sum(nb.v_inv * wtx[:, None, :], axis=-1)
     return ux - w_times(nb, vinv_wtx, problem)
 
 
@@ -322,11 +344,12 @@ def _ba_solve_grid_impl(problem, config):
             jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,
         )
 
-        vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
+        vinv_gp = jnp.sum(nb.v_inv * nb.g_pt[:, None, :], axis=-1)
         b = -nb.g_cam + w_times(nb, vinv_gp, problem)
         dc, cg_iters = schur_pcg(nb, b, problem, config.cg_maxiter, config.cg_rtol)
-        dp = jnp.einsum(
-            "pij,pj->pi", nb.v_inv, -nb.g_pt - wt_times(nb, dc, problem)
+        dp = jnp.sum(
+            nb.v_inv * (-nb.g_pt - wt_times(nb, dc, problem))[:, None, :],
+            axis=-1,
         )
         if not config.optimize_points:
             dp = dp * 0.0
