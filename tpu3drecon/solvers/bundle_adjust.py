@@ -313,7 +313,7 @@ def _ba_solve_impl(
         )
 
         # Reduced camera system RHS: b = -g_c + W V^{-1} g_p.
-        vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
+        vinv_gp = jnp.sum(nb.v_inv * nb.g_pt[:, None, :], axis=-1)
         b = -nb.g_cam + schur.w_times(
             nb, vinv_gp, problem.cam_idx, problem.pt_idx, n_cameras, axis_name
         )

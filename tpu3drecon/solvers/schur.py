@@ -38,13 +38,18 @@ def _maybe_psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
 
 def segment_outer(a: jax.Array, b: jax.Array, idx: jax.Array, num: int) -> jax.Array:
     """sum_k a[k]^T b[k] accumulated per segment: (N,2,m),(N,2,n) -> (num,m,n)."""
-    per_obs = jnp.einsum("kri,krj->kij", a, b)
+    # Explicit 2-term outer product: a 2-wide einsum contraction lowers to
+    # an MXU-padded dot_general (measured 2.9x end-to-end in the wtt
+    # engine, RESULTS.md round 3); broadcast mul+add stays on the VPU.
+    per_obs = (
+        a[:, 0, :, None] * b[:, 0, None, :] + a[:, 1, :, None] * b[:, 1, None, :]
+    )
     return jax.ops.segment_sum(per_obs, idx, num_segments=num)
 
 
 def segment_jt_r(j: jax.Array, r: jax.Array, idx: jax.Array, num: int) -> jax.Array:
     """sum_k J[k]^T r[k] per segment: (N,2,m),(N,2) -> (num,m)."""
-    per_obs = jnp.einsum("kri,kr->ki", j, r)
+    per_obs = j[:, 0] * r[:, 0, None] + j[:, 1] * r[:, 1, None]
     return jax.ops.segment_sum(per_obs, idx, num_segments=num)
 
 
@@ -116,7 +121,10 @@ def build_normal_blocks(
     dtype = blocks_r.dtype
     u = _maybe_psum(segment_outer(blocks_jc, blocks_jc, cam_idx, n_cameras), axis_name)
     v = _maybe_psum(segment_outer(blocks_jp, blocks_jp, pt_idx, n_points), axis_name)
-    w = jnp.einsum("kri,krj->kij", blocks_jc, blocks_jp)  # (N,8,3) stays obs-local
+    w = (
+        blocks_jc[:, 0, :, None] * blocks_jp[:, 0, None, :]
+        + blocks_jc[:, 1, :, None] * blocks_jp[:, 1, None, :]
+    )  # (N,8,3) stays obs-local
     g_cam = _maybe_psum(segment_jt_r(blocks_jc, blocks_r, cam_idx, n_cameras), axis_name)
     g_pt = _maybe_psum(segment_jt_r(blocks_jp, blocks_r, pt_idx, n_points), axis_name)
 
@@ -131,8 +139,17 @@ def build_normal_blocks(
 
     v_inv = inv3x3(v_d)
     if precond == "schur_jacobi":
-        wv = jnp.einsum("kij,kjl->kil", w, v_inv[pt_idx])  # (N,8,3)
-        g_obs = jnp.einsum("kil,kml->kim", wv, w)  # (N,8,8)
+        vg = v_inv[pt_idx]
+        wv = (
+            w[..., 0, None] * vg[:, None, 0, :]
+            + w[..., 1, None] * vg[:, None, 1, :]
+            + w[..., 2, None] * vg[:, None, 2, :]
+        )  # (N,8,3)
+        g_obs = (
+            wv[..., :, None, 0] * w[..., None, :, 0]
+            + wv[..., :, None, 1] * w[..., None, :, 1]
+            + wv[..., :, None, 2] * w[..., None, :, 2]
+        )  # (N,8,8)
         coupling = _maybe_psum(
             jax.ops.segment_sum(g_obs, cam_idx, num_segments=n_cameras), axis_name
         )
@@ -155,13 +172,13 @@ def build_normal_blocks(
 
 def w_times(nb: NormalBlocks, y_pt: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_cameras: int, axis_name: Optional[str] = None) -> jax.Array:
     """(W y)_c: gather y by pt_idx, per-obs 8x3 @ 3, segment-sum by cam."""
-    per_obs = jnp.einsum("kij,kj->ki", nb.w, y_pt[pt_idx])
+    per_obs = jnp.sum(nb.w * y_pt[pt_idx][:, None, :], axis=-1)
     return _maybe_psum(jax.ops.segment_sum(per_obs, cam_idx, num_segments=n_cameras), axis_name)
 
 
 def wt_times(nb: NormalBlocks, x_cam: jax.Array, cam_idx: jax.Array, pt_idx: jax.Array, n_points: int, axis_name: Optional[str] = None) -> jax.Array:
     """(W^T x)_p: gather x by cam_idx, per-obs 3x8 @ 8, segment-sum by point."""
-    per_obs = jnp.einsum("kij,ki->kj", nb.w, x_cam[cam_idx])
+    per_obs = jnp.sum(nb.w * x_cam[cam_idx][:, :, None], axis=1)
     return _maybe_psum(jax.ops.segment_sum(per_obs, pt_idx, num_segments=n_points), axis_name)
 
 
@@ -176,9 +193,9 @@ def schur_matvec(
     """
     n_cameras = nb.u.shape[0]
     n_points = nb.v.shape[0]
-    ux = jnp.einsum("cij,cj->ci", nb.u, x_cam)
+    ux = jnp.sum(nb.u * x_cam[:, None, :], axis=-1)
     wtx = wt_times(nb, x_cam, cam_idx, pt_idx, n_points, axis_name)
-    vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+    vinv_wtx = jnp.sum(nb.v_inv * wtx[:, None, :], axis=-1)
     return ux - w_times(nb, vinv_wtx, cam_idx, pt_idx, n_cameras, axis_name)
 
 
@@ -230,4 +247,4 @@ def back_substitute_points(
     """dp = V^{-1} (-g_p - W^T dc)."""
     n_points = nb.v.shape[0]
     wt_dc = wt_times(nb, dc, cam_idx, pt_idx, n_points, axis_name)
-    return jnp.einsum("pij,pj->pi", nb.v_inv, -nb.g_pt - wt_dc)
+    return jnp.sum(nb.v_inv * (-nb.g_pt - wt_dc)[:, None, :], axis=-1)
