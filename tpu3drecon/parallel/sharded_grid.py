@@ -362,8 +362,10 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
             jpr_g = jpr_full[bucket.track_idx] * tm  # (pb, tb, 8)
             jp_g = jpr_g[..., :6].reshape(pb, tb * 2, 3)
             r_g = jpr_g[..., 6:8].reshape(pb, tb * 2)
-            v = jnp.einsum("pni,pnj->pij", jp_g, jp_g)
-            g_pt = jnp.einsum("pni,pn->pi", jp_g, r_g)
+            # Tiny 3x3 outputs: broadcast-product + reduce, not batched
+            # micro-dots (layout trap, RESULTS.md round 3).
+            v = jnp.sum(jp_g[..., :, None] * jp_g[..., None, :], axis=1)
+            g_pt = jnp.sum(jp_g * r_g[..., None], axis=1)
             buckets_jp_g.append(jp_g)
             v_parts.append(v)
             g_parts.append(g_pt)
@@ -398,9 +400,16 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
                 coupling = coupling_fused(jc_pl, jp_pl, vinv6_g, interpret=interpret)
             else:
                 vinv_full = gather_points(v_inv.reshape(-1, 9)).reshape(-1, 3, 3)
-                w_cell = jnp.einsum("ckri,ckrj->ckij", b.jc, b.jp)
+                w_cell = (
+                    b.jc[..., 0, :, None] * b.jp[..., 0, None, :]
+                    + b.jc[..., 1, :, None] * b.jp[..., 1, None, :]
+                )
                 vinv_g = vinv_full[problem.pt_idx]
-                wv = jnp.einsum("ckij,ckjl->ckil", w_cell, vinv_g)
+                wv = (
+                    w_cell[..., 0, None] * vinv_g[..., None, 0, :]
+                    + w_cell[..., 1, None] * vinv_g[..., None, 1, :]
+                    + w_cell[..., 2, None] * vinv_g[..., None, 2, :]
+                )
                 coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
             precond_mat = u_d - coupling
         else:
@@ -422,7 +431,7 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
         anyway.
         """
         c_l = nb.jc.shape[0]
-        s = jnp.einsum("ckri,ci->ckr", nb.jc, x_local)  # (c_l, k, 2)
+        s = jnp.sum(nb.jc * x_local[:, None, None, :], axis=-1)  # (c_l, k, 2)
         s_full = allgather(s.reshape(c_l * k, 2))
         parts = []
         off = 0
@@ -431,7 +440,7 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
             s_g = (s_full[bucket.track_idx] * bucket.track_mask[..., None]).reshape(
                 pb, tb * 2
             )
-            parts.append(jnp.einsum("pni,pn->pi", jp_g, s_g))
+            parts.append(jnp.sum(jp_g * s_g[..., None], axis=1))
             off += pb
         return jnp.concatenate(parts)  # point-axis LOCAL (sum over all cams)
 
@@ -439,13 +448,13 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
         """(W y) on the local camera rows: all_gather y across point shards."""
         y_full = gather_points(y_local)  # (P, 3) in GLOBAL point order
         y_g = y_full[problem.pt_idx]  # (c_l, k, 3)
-        tmp = jnp.einsum("ckrj,ckj->ckr", nb.jp, y_g)
+        tmp = jnp.sum(nb.jp * y_g[:, :, None, :], axis=-1)
         return jnp.einsum("ckri,ckr->ci", nb.jc, tmp)
 
     def schur_matvec(nb, x_local):
-        ux = jnp.einsum("cij,cj->ci", nb.u, x_local)
+        ux = jnp.sum(nb.u * x_local[:, None, :], axis=-1)
         wtx = wt_times(nb, x_local)
-        vinv_wtx = jnp.einsum("pij,pj->pi", nb.v_inv, wtx)
+        vinv_wtx = jnp.sum(nb.v_inv * wtx[:, None, :], axis=-1)
         return ux - w_times(nb, vinv_wtx)
 
     def pcg(nb, b_local):
@@ -493,11 +502,11 @@ def _solve_local(problem, *, config: BAConfig, axis_name: str,
                 jnp.max(jnp.abs(nb.g_pt)) if config.optimize_points else 0.0,
             )
         )
-        vinv_gp = jnp.einsum("pij,pj->pi", nb.v_inv, nb.g_pt)
+        vinv_gp = jnp.sum(nb.v_inv * nb.g_pt[:, None, :], axis=-1)
         b = -nb.g_cam + w_times(nb, vinv_gp)
         dc, cg_iters = pcg(nb, b)
-        dp_local = jnp.einsum(
-            "pij,pj->pi", nb.v_inv, -nb.g_pt - wt_times(nb, dc)
+        dp_local = jnp.sum(
+            nb.v_inv * (-nb.g_pt - wt_times(nb, dc))[:, None, :], axis=-1
         )
         if not config.optimize_points:
             dp_local = dp_local * 0.0
