@@ -236,6 +236,28 @@ class TestProblemCache:
         cached_problem("k2_v1", build, cache_dir=tmp_path)
         assert len(calls) == 2
 
+    def test_corrupt_entry_rebuilds(self, tmp_path):
+        """A truncated/stale pickle must be dropped and rebuilt, not crash
+        every consumer of the key (mirrors aot_cache behavior)."""
+        import jax.numpy as jnp
+
+        from tpu3drecon.utils.problem_cache import cached_problem
+
+        calls = []
+
+        def build():
+            calls.append(1)
+            return {"a": jnp.arange(3, dtype=jnp.float32)}
+
+        cached_problem("kc_v1", build, cache_dir=tmp_path)
+        (entry,) = list(tmp_path.glob("*.pkl"))
+        entry.write_bytes(b"not a pickle")
+        out = cached_problem("kc_v1", build, cache_dir=tmp_path)
+        assert len(calls) == 2  # rebuilt
+        np.testing.assert_array_equal(out["a"], np.arange(3, dtype=np.float32))
+        # The rebuilt entry serves hits again.
+        cached_problem("kc_v1", lambda: 1 / 0, cache_dir=tmp_path)
+
     def test_wtt_problem_round_trips(self, tmp_path):
         """The BAL-scale use case: a full wtt pytree (nested dataclasses,
         static metadata, deferred one-hots) must survive the numpy-pickle
