@@ -104,3 +104,31 @@ class TestShardedWTT:
             )
             assert shard_shape[0] * 8 == b.onehot.shape[0]
             assert b_placed.window == b.window
+
+
+class TestShardedWTTBALRatio:
+    """Suite-level scale evidence (round-2 verdict #7): a BAL-ratio scene
+    (128 cams, camera-local tracks, groups > mesh size) through the sharded
+    wtt engine with 3 LM iterations, equality-checked against the
+    single-device engine at f64.  The FULL-scale (1712-cam) sharded run is
+    the cpu8_wtt mode of experiments/balscale_dryrun.py (RESULTS.md)."""
+
+    def test_bal_ratio_matches_single_device(self):
+        scene = make_sequential_scene(
+            n_cameras=128, points_per_camera=128, track_span=4, seed=7,
+        )
+        noisy = perturb_scene(scene, seed=8, point2d_noise=0.3)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        wtt = wtt_from_flat(flat, point_chunk=128, chunk_multiple=8)
+        assert sum(b.uv.shape[0] for b in wtt.buckets) > 8  # groups > mesh
+        cfg = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8,
+                       cg_rtol=1e-10)
+        cams_s, pts_s, st_s = ba_solve_wtt(wtt, cfg)
+        cams_m, pts_m, st_m = ba_solve_wtt_sharded(wtt, cfg, mesh=make_mesh(8))
+        assert int(st_m.accepted) == int(st_s.accepted) >= 1
+        np.testing.assert_allclose(float(st_m.loss), float(st_s.loss),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.array(cams_m.tvecs),
+                                   np.array(cams_s.tvecs), atol=1e-7)
+        np.testing.assert_allclose(np.array(pts_m), np.array(pts_s),
+                                   atol=1e-7)
