@@ -213,8 +213,6 @@ def main_tpu_wtt(shuffled: bool = False):
     if len(sys.argv) > 2 and sys.argv[2] == "precond":
         # Interleaved A/B (VERDICT #4): schur_jacobi vs block-tridiagonal
         # preconditioner at BAL scale on sequential data, equal-work solves.
-        import numpy as _np
-
         outs = {}
         for name in ("schur_jacobi", "tridiag", "ssor"):
             # CG to TOLERANCE (not a fixed budget) so preconditioner

@@ -41,7 +41,7 @@ def test_solve_bal_writes_output(bal_file, tmp_path, capsys):
     assert rmse < 0.05
 
 
-@pytest.mark.parametrize("engine", ["tt", "wtt"])
+@pytest.mark.parametrize("engine", ["tt", "wtt", "grid", "pallas"])
 def test_solve_bal_track_table_engines(bal_file, tmp_path, engine):
     out = tmp_path / f"solved_{engine}.txt"
     rc = main([

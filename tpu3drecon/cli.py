@@ -94,7 +94,7 @@ def _solve(problem, args, jax):
     config = _config(args, n_cameras=int(problem.n_cameras))
     rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
     if args.engine == "pallas":
-        from tpu3drecon.problems.grid import grid_bucketed_from_flat, unpermute_points
+        from tpu3drecon.problems.grid import grid_bucketed_from_flat
         from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
 
         from tpu3drecon.utils.placement import commit
