@@ -225,6 +225,11 @@ if __name__ == "__main__":
     import sys
 
     cg = None
-    if "--cg" in sys.argv:
-        cg = int(sys.argv[sys.argv.index("--cg") + 1])
+    for i, a in enumerate(sys.argv[1:], 1):
+        if a == "--cg":
+            if i + 1 >= len(sys.argv):
+                sys.exit("usage: bench.py [--cpu] [--cg N]")
+            cg = int(sys.argv[i + 1])
+        elif a.startswith("--cg="):
+            cg = int(a.split("=", 1)[1])
     main(force_cpu="--cpu" in sys.argv, cg=cg)

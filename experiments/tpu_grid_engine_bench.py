@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(engine: str = "grid") -> None:
     import jax
 
-    from tpu3drecon.benchmark.medium_config import BENCH_CONFIG, build_problem
+    from tpu3drecon.benchmark.medium_config import (
+        BENCH_CONFIG,
+        build_problem,
+        timed_solve_stats,
+    )
     from tpu3drecon.utils.placement import commit
 
     print("backend:", jax.default_backend(), "engine:", engine, flush=True)
@@ -45,21 +48,12 @@ def main(engine: str = "grid") -> None:
 
         grid = commit(flat_host)
         solver = make_ba_solver(cfg)
-    t0 = time.time()
-    out = solver(grid)
-    loss = float(jax.device_get(out[2].loss))
-    compile_s = time.time() - t0
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        out = solver(grid)
-        jax.device_get(out[2].loss)
-        times.append(time.time() - t0)
+    compile_s, times, out = timed_solve_stats(solver, grid, repeats=5)
     ts = sorted(times)
     print(json.dumps({
         "mode": f"{engine}_engine_bench", "compile_s": round(compile_s, 1),
         "best_s": round(ts[0], 4), "median_s": round(ts[len(ts) // 2], 4),
-        "loss": loss,
+        "loss": float(jax.device_get(out[2].loss)),
         "accepted": int(jax.device_get(out[2].accepted)),
     }), flush=True)
 

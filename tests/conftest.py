@@ -62,6 +62,7 @@ _SLOW_NODE_PATTERNS = (
     "test_utils.py::TestCheckpoint",
     "test_packed_gather.py::test_pallas_engine_packed_equals_unpacked",
     "test_cli.py::test_solve_bal_track_table_engines",
+    "test_cli.py::test_solve_bal_precond_flag",
     "test_cli.py::test_solve_colmap_writeback",
     "test_cli.py::test_solve_bal_writes_output",
     "test_pose_refine.py::test_float32_path",

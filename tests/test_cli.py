@@ -75,6 +75,18 @@ def test_solve_bal_precond_flag(bal_file, tmp_path):
     assert rmse < 0.05
 
 
+def test_precond_engine_validation(bal_file, tmp_path, capsys):
+    """Band preconditioners with non-track-table engines exit cleanly
+    (code 2 + message), instead of a raw solver ValueError traceback."""
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "solve-bal", bal_file, "-o", str(tmp_path / "x.txt"),
+            "--cpu", "--engine", "flat", "--precond", "ssor",
+        ])
+    assert exc.value.code == 2
+    assert "requires --engine tt or wtt" in capsys.readouterr().err
+
+
 def test_precond_auto_selection():
     """auto = ssor for track-table engines at >=1000 cams (measured
     guidance, RESULTS.md round 3), schur_jacobi otherwise."""

@@ -67,6 +67,13 @@ def _config(args, n_cameras: int = 0):
     from tpu3drecon.solvers.bundle_adjust import BAConfig
 
     precond = getattr(args, "precond", "auto")
+    if precond in ("ssor", "tridiag") and args.engine not in ("tt", "wtt"):
+        print(
+            f"[tpu3drecon] --precond {precond} requires --engine tt or wtt "
+            "(band preconditioners need the track-table pair one-hots)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     if precond == "auto":
         # Measured TPU guidance (RESULTS.md round 3): the band information
         # pays ~2x in time-to-target at BAL-scale camera counts, loses at

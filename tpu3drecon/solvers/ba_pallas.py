@@ -285,9 +285,10 @@ def ba_solve_pallas(
             "optimize_pp is supported by the track-table engines "
             "(ba_solve_tt / ba_solve_wtt) only"
         )
-    if config.precond == "tridiag":
+    if config.precond in ("tridiag", "ssor"):
         raise ValueError(
-            "precond='tridiag' is supported by the tt/wtt engines only"
+            f"precond={config.precond!r} is supported by the tt/wtt engines "
+            "only (band preconditioners need the track-table pair one-hots)"
         )
     with jax.default_matmul_precision("highest"):
         cams, pts, state = _ba_solve_pallas_impl(problem, config, interpret)
