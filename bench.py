@@ -33,8 +33,12 @@ import sys
 # CPU wall time varies with shared-host conditions (8-12 s when loaded;
 # 6.14/6.19 s on two idle-host runs); the FASTEST observed run is recorded
 # (conservative: it understates the TPU speedup).  Round-1 pin was 8.078 s
-# under load.  Reproduce with: python bench.py --cpu
+# under load.  Reproduce with: python bench.py --cpu; re-measure and record
+# provenance with: python bench.py --repin (the headline JSON self-reports
+# the pin's date and warns when the latest recorded measurement drifts).
 CPU_BASELINE_S = 6.1356
+CPU_PIN_RECORDED = "2026-08-17"
+CPU_PIN_HOST_STATE = "idle host, fastest of repeated runs"
 
 
 def _tpu_alive(timeout_s: float = 900.0) -> bool:
@@ -71,14 +75,15 @@ def _tpu_alive(timeout_s: float = 900.0) -> bool:
     return False  # abandoned, NOT killed
 
 
-def main(force_cpu: bool = False, cg: int | None = None) -> None:
+def emit_headline(force_cpu: bool = False, cg: int | None = None,
+                  repin: bool = False, probe: bool = True) -> None:
     import jax
 
     from tpu3drecon.utils.aot_cache import entry_count as aot_entry_count
     from tpu3drecon.utils.compile_cache import cache_entry_count, enable_compilation_cache
 
     tpu_fell_back = False
-    if not force_cpu and not _tpu_alive():
+    if not force_cpu and probe and not _tpu_alive():
         tpu_fell_back = True
         force_cpu = True
     if force_cpu:
@@ -179,7 +184,27 @@ def main(force_cpu: bool = False, cg: int | None = None) -> None:
     baseline_file = pathlib.Path(__file__).parent / ".bench_cpu_baseline.json"
     cpu_baseline_drift = None
     if force_cpu and not tpu_fell_back and cg is None:
-        baseline_file.write_text(json.dumps({"cpu_s": round(run_s, 4)}))
+        import datetime
+        import os
+
+        record = {
+            "cpu_s": round(run_s, 4),
+            "recorded": datetime.date.today().isoformat(),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "min_s": round(times[0], 4),
+            "max_s": round(times[-1], 4),
+        }
+        baseline_file.write_text(json.dumps(record))
+        if repin:
+            drift = abs(times[0] - CPU_BASELINE_S) / CPU_BASELINE_S
+            print(
+                f"bench --repin: CPU re-measured min {times[0]:.4f} s "
+                f"(pin {CPU_BASELINE_S}, drift {drift:.1%}, loadavg "
+                f"{record['loadavg_1m']}); recorded to {baseline_file.name}."
+                + (" Update CPU_BASELINE_S + RESULTS.md if the host was idle."
+                   if drift > 0.2 else " Pin stands."),
+                file=sys.stderr,
+            )
     elif baseline_file.exists():
         measured = json.loads(baseline_file.read_text()).get("cpu_s")
         if measured:
@@ -204,6 +229,8 @@ def main(force_cpu: bool = False, cg: int | None = None) -> None:
             "n_obs": 200704,
             "backend": jax.default_backend(),
             "cpu_baseline_s": CPU_BASELINE_S,
+            "cpu_pin_recorded": CPU_PIN_RECORDED,
+            "cpu_pin_host_state": CPU_PIN_HOST_STATE,
             "tpu_probe_failed": tpu_fell_back,
             # compile_s <= ~5s together with warm_aot_cache=True demonstrates
             # the persistent AOT executable cache (utils/aot_cache.py; cold
@@ -221,15 +248,40 @@ def main(force_cpu: bool = False, cg: int | None = None) -> None:
     print(json.dumps(result))
 
 
-if __name__ == "__main__":
-    import sys
+def main(force_cpu: bool = False, cg: int | None = None) -> None:
+    """Back-compat alias for the plain driver contract."""
+    emit_headline(force_cpu=force_cpu, cg=cg)
 
-    cg = None
-    for i, a in enumerate(sys.argv[1:], 1):
-        if a == "--cg":
-            if i + 1 >= len(sys.argv):
-                sys.exit("usage: bench.py [--cpu] [--cg N]")
-            cg = int(sys.argv[i + 1])
-        elif a.startswith("--cg="):
-            cg = int(a.split("=", 1)[1])
-    main(force_cpu="--cpu" in sys.argv, cg=cg)
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Headline benchmark (one JSON line); --suite runs every "
+        "BASELINE.md config (one JSON line each)."
+    )
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--cg", type=int, default=None, metavar="N",
+                    help="override the CG budget on both sides (headline is 8)")
+    ap.add_argument("--repin", action="store_true",
+                    help="re-measure the CPU baseline (implies --cpu) and "
+                    "record date/load provenance to .bench_cpu_baseline.json")
+    ap.add_argument("--suite", action="store_true",
+                    help="run all five BASELINE.md configs (PnP parity, "
+                    "small BA, medium BA, 500-frame tracking, BAL s/LM-iter)")
+    args = ap.parse_args()
+
+    if args.suite:
+        import jax
+
+        if args.cpu or not _tpu_alive():
+            jax.config.update("jax_platforms", "cpu")
+        from tpu3drecon.benchmark.suite import run_suite
+
+        # Backend already pinned above; the delegated headline must not
+        # re-probe (its probe subprocess would race the suite's device use).
+        run_suite(force_cpu=jax.default_backend() == "cpu", cg=args.cg)
+    else:
+        emit_headline(
+            force_cpu=args.cpu or args.repin, cg=args.cg, repin=args.repin
+        )

@@ -145,16 +145,21 @@ def _solve(problem, args, jax):
             # RESULTS.md), the plain grid engine elsewhere (Pallas would
             # run in slow interpret mode off-TPU).
             fallback = "pallas" if jax.default_backend() == "tpu" else "grid"
-            print(
-                f"[tpu3drecon] wtt layout infeasible ({e}); "
-                f"falling back to the {fallback} engine",
-                file=sys.stderr,
-            )
-            args.engine = fallback  # the summary line reports reality
+            precond_note = ""
             if config.precond in ("ssor", "tridiag"):
                 # Band preconditioners are tt/wtt-only (they need the
                 # track-table pair one-hots).
+                precond_note = (
+                    f"; band preconditioner {config.precond!r} replaced "
+                    "with schur_jacobi (ssor/tridiag are tt/wtt-only)"
+                )
                 config = config._replace(precond="schur_jacobi")
+            print(
+                f"[tpu3drecon] wtt layout infeasible ({e}); "
+                f"falling back to the {fallback} engine{precond_note}",
+                file=sys.stderr,
+            )
+            args.engine = fallback  # the summary line reports reality
             if fallback == "pallas":
                 from tpu3drecon.problems.grid import grid_bucketed_from_flat
                 from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver

@@ -129,7 +129,10 @@ def _contrib_g_chunk(bucket: WTTBucket, np_cam: int, use_sj: bool,
     if want_od:
         # ... + the np x np pair grid + the bf16 pair one-hot.
         k_eff += np_cam * np_cam + bucket.window // 2
-    per_g = tb * pc * 4 * max(k_eff, 1)
+    # Itemsize follows the problem dtype: under x64 (the CPU test mesh) the
+    # transient planes are f64, twice the f32 estimate (ADVICE r3).
+    itemsize = jnp.dtype(bucket.uv.dtype).itemsize
+    per_g = tb * pc * itemsize * max(k_eff, 1)
     return max(1, min(g, _contrib_plane_budget() // max(per_g, 1)))
 
 
