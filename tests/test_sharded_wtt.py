@@ -132,3 +132,40 @@ class TestShardedWTTBALRatio:
                                    np.array(cams_s.tvecs), atol=1e-7)
         np.testing.assert_allclose(np.array(pts_m), np.array(pts_s),
                                    atol=1e-7)
+
+
+class TestShardedHubSplit:
+    def test_hub_split_matches_single_device(self):
+        # Hub/global camera tiles under shard_map: the global tiles are
+        # identical on every device-local chunk shard; equality with the
+        # single-device hub solve pins the whole hybrid layout.
+        from tpu3drecon.dataset.synthetic import make_hub_scene
+
+        # 512 cameras: the smallest c_pad where the split beats plain RCM
+        # (global tiles amortize only once c_pad >> local window + 128).
+        scene = make_hub_scene(
+            n_cameras=512, points_per_camera=6, track_span=3,
+            hub_fraction=0.05, hub_obs=400, seed=33,
+        )
+        noisy = perturb_scene(scene, seed=34, point2d_noise=0.2)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        wtt = wtt_from_flat(
+            flat, point_chunk=32, chunk_multiple=4, reorder_cameras="hub"
+        )
+        assert any(b.global_tiles > 0 for b in wtt.buckets)
+        mesh = make_mesh(4)
+        config = BAConfig(maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=20,
+                          cg_rtol=1e-10)
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(wtt, config, mesh=mesh)
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, config)
+        assert int(st_s.accepted) == int(st_1.accepted)
+        np.testing.assert_allclose(
+            float(st_s.loss), float(st_1.loss), rtol=1e-9, atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(cams_s.tvecs), np.asarray(cams_1.tvecs), rtol=0,
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pts_s), np.asarray(pts_1), rtol=0, atol=1e-7
+        )

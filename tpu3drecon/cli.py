@@ -174,6 +174,18 @@ def _solve(problem, args, jax):
                 solver = make_grid_ba_solver(config)
             run = lambda: solver(grid)  # noqa: E731
         else:
+            if config.precond in ("ssor", "tridiag") and any(
+                b.global_tiles for b in wtt.buckets
+            ):
+                # Hub/global split layout (dislocal scene): the band
+                # preconditioners' pair one-hots don't cover hub couplings.
+                print(
+                    f"[tpu3drecon] hub/global camera split in effect; band "
+                    f"preconditioner {config.precond!r} replaced with "
+                    "schur_jacobi (ssor/tridiag need pure window locality)",
+                    file=sys.stderr,
+                )
+                config = config._replace(precond="schur_jacobi")
             solver = make_wtt_ba_solver(config, aot=args.aot)
             run = lambda: solver(wtt)  # noqa: E731
     else:

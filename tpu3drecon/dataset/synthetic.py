@@ -246,6 +246,111 @@ def make_sequential_scene(
     )
 
 
+def make_hub_scene(
+    n_cameras: int = 160,
+    points_per_camera: int = 30,
+    track_span: int = 4,
+    hub_fraction: float = 0.05,
+    hub_obs: int = 2000,
+    image_size: Tuple[int, int] = (1280, 960),
+    focal: float = 1100.0,
+    spacing: float = 0.5,
+    seed: int = 0,
+) -> SyntheticScene:
+    """Core-periphery (photo-tourism-structured) scene: a sequential local
+    backbone PLUS ``hub_fraction`` overview "hub" cameras that each observe
+    ``hub_obs`` random points across the WHOLE scene.
+
+    This is the co-visibility structure of landmark photo collections
+    (Reichstag/Sacre-Coeur-class scenes the reference targets:
+    src/benchmark_implementation/benchmark_datasets.py:30-66): most tracks
+    are short and camera-local, but a few popular viewpoints see everything
+    — so the camera co-visibility graph has intrinsically high bandwidth
+    (hub rows touch every community) and NO single relabeling can make all
+    windows narrow.  The wtt packer handles it with the hub/global camera
+    split (problems/reorder.plan_hub_camera_order + global window tiles).
+
+    Camera ids are emitted INTERLEAVED (hubs scattered among locals by a
+    seeded permutation), photo-tourism style: the packer must discover the
+    split itself.  ``hub_camera_rows(...)`` of the returned scene is not
+    provided on purpose — tests recover it from the co-visibility degree.
+
+    Geometry: locals march along +x exactly like ``make_sequential_scene``;
+    hubs sit far behind the scene line (aerial overview) so the whole point
+    cloud is genuinely inside their frustum — projections stay exact.
+    """
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+    n_hubs = max(1, int(round(n_cameras * hub_fraction)))
+    n_locals = n_cameras - n_hubs
+    base = make_sequential_scene(
+        n_cameras=n_locals,
+        points_per_camera=points_per_camera,
+        track_span=track_span,
+        image_size=image_size,
+        focal=focal,
+        spacing=spacing,
+        seed=seed,
+        dist=(0.0, 0.0),
+    )
+    n_points = base.n_points
+
+    # Hub cameras: far behind (z << 0), looking at the scene line's middle
+    # stretch; distance scales with scene extent so the frustum covers it.
+    extent = spacing * n_locals
+    hub_r = np.zeros((n_hubs, 3, 3))
+    hub_t = np.zeros((n_hubs, 3))
+    hub_f = np.zeros((n_hubs, 2))
+    hub_c = np.zeros((n_hubs, 3))
+    hub_cam, hub_pt, hub_uv = [], [], []
+    for j in range(n_hubs):
+        cx_pos = extent * (j + 0.5) / n_hubs
+        center = np.array([cx_pos, -0.3 * extent, -1.2 * extent])
+        target = np.array([extent / 2, 0.0, 6.0]) + rng.normal(scale=0.1, size=3)
+        hub_r[j], hub_t[j] = _look_at_w2c(center, target, np.array([0.0, 1.0, 0.0]))
+        f = focal * rng.uniform(0.95, 1.05)
+        hub_f[j] = (f, f * rng.uniform(0.99, 1.01))
+        hub_c[j] = (w / 2 + rng.normal(scale=2), h / 2 + rng.normal(scale=2), 0.0)
+
+        pt_rows = np.unique(rng.integers(0, n_points, size=hub_obs))
+        xyz_cam = base.points3d[pt_rows] @ hub_r[j].T + hub_t[j]
+        in_front = xyz_cam[:, 2] > 0.1
+        pt_rows, xyz_cam = pt_rows[in_front], xyz_cam[in_front]
+        xy = xyz_cam[:, :2] / xyz_cam[:, 2:3]
+        u = hub_f[j, 0] * xy[:, 0] + hub_c[j, 2] * xy[:, 1] + hub_c[j, 0]
+        v = hub_f[j, 1] * xy[:, 1] + hub_c[j, 1]
+        inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        hub_cam.append(np.full(inside.sum(), n_locals + j, np.int32))
+        hub_pt.append(pt_rows[inside].astype(np.int32))
+        hub_uv.append(np.stack([u[inside], v[inside]], axis=1))
+
+    # Interleave hub ids among local ids (photo-tourism labeling).
+    perm = rng.permutation(n_cameras)  # perm[packed] = emitted id
+    inv = np.empty(n_cameras, np.int64)
+    inv[perm] = np.arange(n_cameras)
+
+    rmats = np.concatenate([base.rmats, hub_r])[perm]
+    tvecs = np.concatenate([base.tvecs, hub_t])[perm]
+    fx_fy = np.concatenate([base.fx_fy, hub_f])[perm]
+    ccs = np.concatenate([base.cx_cy_skew, hub_c])[perm]
+    cam_idx = inv[
+        np.concatenate([base.cam_idx] + hub_cam).astype(np.int64)
+    ].astype(np.int32)
+    return SyntheticScene(
+        rmats=rmats,
+        tvecs=tvecs,
+        fx_fy=fx_fy,
+        cx_cy_skew=ccs,
+        width=w,
+        height=h,
+        points3d=base.points3d,
+        cam_idx=cam_idx,
+        pt_idx=np.concatenate([base.pt_idx] + hub_pt),
+        uv=np.concatenate([base.uv] + hub_uv),
+        dist=np.zeros((n_cameras, 2)),
+    )
+
+
 def perturb_scene(
     scene: SyntheticScene,
     point3d_noise: float = 3e-2,

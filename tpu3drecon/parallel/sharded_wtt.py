@@ -69,11 +69,13 @@ def _check_divisible(problem: BAWTTProblem, n_devices: int) -> None:
 
 
 def _bucket_spec(b: WTTBucket, axis_name: str) -> WTTBucket:
-    # The static `window` field is aux data in the pytree: the spec pytree
-    # must carry the SAME value as the data pytree to match structures.
+    # Static fields (window/global tiles) are aux data in the pytree: the
+    # spec pytree must carry the SAME values as the data pytree to match
+    # structures.
     chunk = P(axis_name)
     return WTTBucket(
-        uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk, window=b.window
+        uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk, window=b.window,
+        global_tiles=b.global_tiles, global_tile0=b.global_tile0,
     )
 
 
@@ -99,6 +101,8 @@ def shard_wtt_problem(
             onehot=put(b.onehot, chunk0),
             cam_base=put(b.cam_base, chunk0),
             window=b.window,
+            global_tiles=b.global_tiles,
+            global_tile0=b.global_tile0,
         )
         for b in problem.buckets
     )
@@ -127,7 +131,11 @@ def ba_solve_wtt_sharded(
     buckets, pts, cams, avg_w = shard_wtt_problem(problem, mesh, axis_name)
     solver = make_sharded_wtt_solver(
         mesh, config, axis_name,
-        tuple(b.window for b in problem.buckets), problem.c_pad,
+        tuple(
+            (b.window, b.global_tiles, b.global_tile0)
+            for b in problem.buckets
+        ),
+        problem.c_pad,
     )
     cameras_out, pts_out, final = solver(buckets, pts, cams, avg_w)
     points3d = jnp.concatenate(
@@ -146,18 +154,25 @@ def make_sharded_wtt_solver(
     mesh: Mesh,
     config: BAConfig = BAConfig(),
     axis_name: str = SHARD_AXIS,
-    windows: Tuple[int, ...] = (),
+    windows: Tuple = (),
     c_pad: int = 128,
 ):
-    """Jitted shard_map wtt solver for a mesh + config (cached)."""
+    """Jitted shard_map wtt solver for a mesh + config (cached).
+
+    ``windows`` carries each bucket's static layout: either plain window
+    ints or ``(window, global_tiles, global_tile0)`` triples (hub split).
+    """
     from tpu3drecon.solvers.bundle_adjust import (
         DynamicBAParams,
         merge_dynamic_config,
         split_dynamic_config,
     )
 
+    statics = tuple(
+        w if isinstance(w, tuple) else (w, 0, 0) for w in windows
+    )
     static, dyn = split_dynamic_config(config)
-    key = (mesh_key(mesh), static, axis_name, windows, c_pad)
+    key = (mesh_key(mesh), static, axis_name, statics, c_pad)
     if key in _SHARDED_WTT_CACHE:
         jfn = _SHARDED_WTT_CACHE[key]
         return lambda *a, _j=jfn, _d=dyn: _j(*a, _d)
@@ -168,10 +183,13 @@ def make_sharded_wtt_solver(
     cam_spec = CameraParams(rmats=rep, tvecs=rep, fx_fy=rep, cx_cy_skew=rep, dist=rep)
     in_specs = (
         tuple(
-            WTTBucket(uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk, window=w)
-            for w in windows
+            WTTBucket(
+                uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk,
+                window=w, global_tiles=gt, global_tile0=g0,
+            )
+            for (w, gt, g0) in statics
         ),
-        tuple(pts_spec for _ in windows),
+        tuple(pts_spec for _ in statics),
         cam_spec,
         rep,
     )
@@ -179,7 +197,7 @@ def make_sharded_wtt_solver(
         params=None, loss=rep, lam=rep, nu=rep, iter_num=rep, accepted=rep,
         grad_norm=rep, converged=rep, cg_iters=rep, gain=rep,
     )
-    out_specs = (cam_spec, tuple(pts_spec for _ in windows), final_spec)
+    out_specs = (cam_spec, tuple(pts_spec for _ in statics), final_spec)
 
     def local(buckets, pts, cams, avg_w, d):
         view = _WTTView(cams, buckets, avg_w, c_pad)

@@ -114,6 +114,118 @@ def plan_camera_order(
     return perm, stats
 
 
+def estimate_local_window(
+    cam_idx: np.ndarray,
+    pt_idx: np.ndarray,
+    n_points: int,
+    relabel: np.ndarray,
+    n_local: int,
+    point_chunk: int = 512,
+    tile: int = 128,
+) -> int:
+    """Estimate the wtt LOCAL window (128-aligned rows) a relabeling yields.
+
+    Mirrors the packer's plan (problems/wtt.py pass 1) without packing:
+    points sorted by min observing LOCAL camera, chunked ``point_chunk``
+    wide, window = max 128-aligned local span of any chunk.  Cameras with
+    new label >= ``n_local`` are globals (covered by shared global tiles)
+    and do not stretch the windows.  Ignores track-length bucketing (one
+    pooled chunking), so it is an upper-bound-flavored estimate used only
+    to COMPARE candidate splits.
+    """
+    cams = relabel[cam_idx]
+    local = cams < n_local
+    hi = np.full(n_points, -1, np.int64)
+    lo = np.full(n_points, np.iinfo(np.int64).max, np.int64)
+    np.maximum.at(hi, pt_idx[local], cams[local])
+    np.minimum.at(lo, pt_idx[local], cams[local])
+    observed = hi >= 0
+    if not observed.any():
+        return tile
+    lo_o, hi_o = lo[observed], hi[observed]
+    order = np.argsort(lo_o, kind="stable")
+    lo_o, hi_o = lo_o[order], hi_o[order]
+    window = tile
+    for s in range(0, len(lo_o), point_chunk):
+        base = (int(lo_o[s]) // tile) * tile
+        span = int(hi_o[s : s + point_chunk].max()) - base + 1
+        window = max(window, ((span + tile - 1) // tile) * tile)
+    return window
+
+
+def plan_hub_camera_order(
+    cam_idx: np.ndarray,
+    pt_idx: np.ndarray,
+    mask: np.ndarray,
+    n_cameras: int,
+    n_points: int,
+    fracs: Tuple[float, ...] = (0.0, 1 / 64, 1 / 32, 1 / 16, 1 / 8),
+    point_chunk: int = 512,
+    tile: int = 128,
+) -> Tuple[Optional[np.ndarray], int, dict]:
+    """Hub/local camera split for dislocal (photo-tourism) scenes.
+
+    Core-periphery co-visibility graphs have intrinsically high bandwidth —
+    hub cameras (popular viewpoints) co-observe with everyone, so no single
+    relabeling makes every wtt window narrow.  The fix is a SPLIT: move the
+    highest-degree cameras to the top of the camera axis (the "global" set,
+    covered by shared window tiles in problems/wtt.py) and RCM-order the
+    remaining local subgraph.
+
+    For each candidate global fraction, score = estimated local window +
+    global tile rows; returns ``(perm, n_local, stats)`` minimizing it
+    (``perm[new] = old``; globals occupy labels ``n_local..``).  frac 0.0
+    (plain RCM, no globals) competes on equal terms, so camera-local scenes
+    never pay for tiles they don't need.
+    """
+    import scipy.sparse.csgraph as csgraph
+
+    real = np.asarray(mask) > 0
+    ci = np.asarray(cam_idx)[real].astype(np.int64)
+    pi = np.asarray(pt_idx)[real].astype(np.int64)
+    adj = camera_covisibility(ci, pi, n_cameras, n_points)
+    deg = np.diff(adj.indptr)
+    order_by_deg = np.argsort(-deg, kind="stable")
+
+    c_pad = ((n_cameras + tile - 1) // tile) * tile
+    best = None
+    candidates = []
+    for frac in fracs:
+        k = int(round(n_cameras * frac))
+        glob = np.sort(order_by_deg[:k]) if k else np.zeros(0, np.int64)
+        local_ids = np.setdiff1d(np.arange(n_cameras), glob, assume_unique=False)
+        n_local = len(local_ids)
+        if n_local == 0:
+            continue
+        sub = adj[np.ix_(local_ids, local_ids)].tocsr()
+        sub_perm = csgraph.reverse_cuthill_mckee(sub, symmetric_mode=True)
+        perm = np.concatenate([local_ids[np.asarray(sub_perm, np.int64)], glob])
+        inv = np.empty(n_cameras, np.int64)
+        inv[perm] = np.arange(n_cameras)
+        w_local = estimate_local_window(
+            ci, pi, n_points, inv, n_local, point_chunk, tile
+        )
+        # Global rows cover [floor(n_local/tile)*tile, c_pad).
+        g_tile0 = n_local // tile
+        w_global = c_pad - g_tile0 * tile if k else 0
+        score = w_local + w_global
+        candidates.append(
+            {"frac": frac, "n_global": k, "w_local": w_local,
+             "w_global": w_global, "score": score}
+        )
+        if best is None or score < best[0]:
+            best = (score, perm, n_local, k)
+
+    score, perm, n_local, k = best
+    stats = {
+        "candidates": candidates,
+        "n_global": k,
+        "n_local": n_local,
+        "score": score,
+    }
+    return perm, n_local, stats
+
+
 def permute_cameras_flat(problem, perm: np.ndarray):
     """Relabel cameras of a flat BAProblem by ``perm[new] = old``.
 

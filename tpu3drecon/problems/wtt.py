@@ -61,6 +61,13 @@ class WTTBucket:
     (their few points span the whole trajectory after the camera-local
     sort), so a global window would degenerate to c_pad for everyone; the
     dominant long-track buckets keep their narrow local windows instead.
+
+    Hub/global split (dislocal photo-tourism scenes): ``global_tiles`` > 0
+    means the LAST ``128 * global_tiles`` one-hot rows address the shared
+    global camera region (tiles ``global_tile0..``, where the packer put
+    the high-co-visibility hub cameras) instead of the chunk-local window
+    — every chunk sees its narrow local window PLUS the same global tiles.
+    ``window`` is the TOTAL one-hot row count (local + global rows).
     """
 
     uv: jax.Array  # (G, 2, Tb, Pc)
@@ -73,6 +80,9 @@ class WTTBucket:
     # the host->device stream drops from GBs to MBs at BAL scale.
     wcam: jax.Array = None  # (G, Tb*Pc) int16
     window: int = dataclasses.field(default=CAM_TILE, metadata=dict(static=True))
+    # Shared global (hub) camera tiles appended to every chunk's window.
+    global_tiles: int = dataclasses.field(default=0, metadata=dict(static=True))
+    global_tile0: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -197,6 +207,18 @@ def _choose_cap(run_lengths, max_waste: float = 0.125, min_groups: int = 1) -> i
     return best[0]
 
 
+def _slots_estimate(pt_idx_real: np.ndarray, n_points: int,
+                    bounds: Tuple[int, ...]) -> float:
+    """Approximate total slot columns of the bucketed track table (per-point
+    track length rounded up to its bucket bound, ~13% group padding)."""
+    counts = np.bincount(pt_idx_real, minlength=n_points)
+    counts = counts[counts > 0]
+    tb = np.asarray(sorted(bounds), np.int64)
+    idx = np.searchsorted(tb, counts)
+    rounded = np.where(idx < len(tb), tb[np.minimum(idx, len(tb) - 1)], counts)
+    return float(rounded.sum()) * 1.13
+
+
 def wtt_from_flat(
     problem: BAProblem,
     bounds: Tuple[int, ...] = (2, 3, 4, 8),
@@ -232,34 +254,74 @@ def wtt_from_flat(
     ``reorder_cameras`` controls the window-locality relabeling
     (problems/reorder.py — RCM on the co-visibility graph): ``"auto"``
     relabels when it shrinks the mean track span, ``"always"`` forces the
-    RCM order, ``"never"`` keeps the input ids.  Shuffled or unstructured
-    camera ids otherwise degenerate the windows toward c_pad and trip the
-    ``max_onehot_bytes`` guard.  The engines un-permute their camera
-    output via ``cam_rows``, so callers see original camera order either
-    way.
+    RCM order, ``"never"`` keeps the input ids, ``"hub"`` forces the
+    hub/global split planner.  On genuinely dislocal (core-periphery /
+    photo-tourism) scenes no relabeling makes all windows narrow — the
+    co-visibility graph's bandwidth is intrinsic — so ``"auto"`` estimates
+    the post-RCM one-hot size and, when it would blow past
+    ``max_onehot_bytes``, switches to the hub split: the highest-degree
+    cameras are relabeled to the top of the camera axis and covered by
+    shared GLOBAL window tiles on every chunk (WTTBucket.global_tiles)
+    while the local majority keeps narrow windows.  The engines un-permute
+    their camera output via ``cam_rows``, so callers see original camera
+    order either way.
     """
     cam_rows = None
-    if reorder_cameras not in ("auto", "always", "never"):
+    n_local = problem.n_cameras
+    if reorder_cameras not in ("auto", "always", "never", "hub"):
         raise ValueError(f"reorder_cameras={reorder_cameras!r}")
+    oh_dtype_early = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
     if reorder_cameras != "never":
         from tpu3drecon.problems.reorder import (
+            estimate_local_window,
             permute_cameras_flat,
             plan_camera_order,
+            plan_hub_camera_order,
             rcm_camera_order,
         )
 
         ci = np.asarray(jax.device_get(problem.cam_idx))
         pi = np.asarray(jax.device_get(problem.pt_idx))
         mk = np.asarray(jax.device_get(problem.mask))
+        perm = None
         if reorder_cameras == "always":
             real = mk > 0
             perm = rcm_camera_order(
                 ci[real], pi[real], problem.n_cameras, problem.n_points
             )
+        elif reorder_cameras == "hub":
+            perm, n_local, _stats = plan_hub_camera_order(
+                ci, pi, mk, problem.n_cameras, problem.n_points,
+                point_chunk=point_chunk,
+            )
         else:
             perm, _stats = plan_camera_order(
                 ci, pi, mk, problem.n_cameras, problem.n_points
             )
+            # Estimate the one-hot bytes the plain (RCM or input) order
+            # yields; if they would not fit, try the hub/global split —
+            # dislocal scenes fall through to it automatically.
+            real = mk > 0
+            cr, pr = ci[real].astype(np.int64), pi[real].astype(np.int64)
+            if perm is not None:
+                inv0 = np.empty(problem.n_cameras, np.int64)
+                inv0[perm] = np.arange(problem.n_cameras)
+            else:
+                inv0 = np.arange(problem.n_cameras)
+            w_plain = estimate_local_window(
+                cr, pr, problem.n_points, inv0, problem.n_cameras,
+                point_chunk=point_chunk,
+            )
+            slots_est = _slots_estimate(pr, problem.n_points, bounds)
+            itemsize = jnp.dtype(oh_dtype_early).itemsize
+            est_plain = w_plain * slots_est * itemsize
+            if est_plain > 0.5 * max_onehot_bytes:
+                hub_perm, hub_local, hub_stats = plan_hub_camera_order(
+                    ci, pi, mk, problem.n_cameras, problem.n_points,
+                    point_chunk=point_chunk,
+                )
+                if hub_stats["score"] * slots_est * itemsize < est_plain:
+                    perm, n_local = hub_perm, hub_local
         if perm is not None:
             problem = permute_cameras_flat(problem, perm)
             cam_rows = perm
@@ -281,6 +343,13 @@ def wtt_from_flat(
     c_pad = _pad_up(max(C, 1), CAM_TILE)
     Pc = point_chunk
 
+    # Hub/global split geometry: cameras labeled >= glob_start live in the
+    # shared global tiles (n_gt of them) appended to every chunk's window;
+    # without a split glob_start = c_pad and n_gt = 0 (everything local).
+    g_tile0 = (n_local // CAM_TILE) if n_local < C else (c_pad // CAM_TILE)
+    glob_start = g_tile0 * CAM_TILE
+    n_gt = c_pad // CAM_TILE - g_tile0
+
     # Pass 1 (host): per-bucket window + per-micro-chunk clamped bases +
     # grouping plan.  Short-track buckets are tiny but camera-wide after
     # the camera-local sort; windows are PER BUCKET so they don't poison
@@ -299,6 +368,7 @@ def wtt_from_flat(
         for gi in range(n_chunks):
             sl = slice(gi * Pc, (gi + 1) * Pc)
             cams = tc[sl][tm[sl] > 0]
+            cams = cams[cams < glob_start]  # globals ride the shared tiles
             if cams.size == 0:
                 continue
             has_obs[gi] = True
@@ -339,7 +409,8 @@ def wtt_from_flat(
 
         plans.append((ti, tc, tm, window, groups, cap))
         onehot_bytes += (
-            window * len(groups) * Tb * cap * Pc * jnp.dtype(oh_dtype).itemsize
+            (window + n_gt * CAM_TILE)
+            * len(groups) * Tb * cap * Pc * jnp.dtype(oh_dtype).itemsize
         )
 
     if onehot_bytes > max_onehot_bytes:
@@ -382,13 +453,20 @@ def wtt_from_flat(
                 mask_b[bi, :, col0 : col0 + Pc] = tm_g
                 tt_i, pp = np.nonzero(tm_g > 0)
                 cols = tt_i * Pc_eff + col0 + pp
-                wcam_b[bi, cols] = tc_g[tm_g > 0] - base
+                tcv = tc_g[tm_g > 0]
+                # Local cameras index their chunk window; globals index the
+                # shared tail rows [window, window + n_gt*128).
+                wcam_b[bi, cols] = np.where(
+                    tcv < glob_start, tcv - base,
+                    window + (tcv - glob_start),
+                )
                 sel[bi, col0 : col0 + Pc] = g_off + np.arange(gi * Pc, (gi + 1) * Pc)
+        total_rows = window + n_gt * CAM_TILE
         if defer_onehot:
             onehot = None
             wcam = jnp.asarray(wcam_b)
         else:
-            onehot_b = np.zeros((B, window, n), np_dtype)
+            onehot_b = np.zeros((B, total_rows, n), np_dtype)
             rows, cols = np.nonzero(wcam_b >= 0)
             onehot_b[rows, wcam_b[rows, cols], cols] = 1.0
             onehot = jnp.asarray(onehot_b, oh_dtype)
@@ -400,7 +478,9 @@ def wtt_from_flat(
                 onehot=onehot,
                 cam_base=jnp.asarray(cam_base),
                 wcam=wcam,
-                window=window,
+                window=total_rows,
+                global_tiles=n_gt,
+                global_tile0=g_tile0,
             )
         )
         sel = sel.reshape(-1)
@@ -415,7 +495,7 @@ def wtt_from_flat(
         off += sel.size
         g_off += Pb
 
-    windows = [p[3] for p in plans]
+    windows = [p[3] + n_gt * CAM_TILE for p in plans]
     return BAWTTProblem(
         cameras=g.cameras,
         points3d=jnp.asarray(np.concatenate(pts_chunks, axis=0))

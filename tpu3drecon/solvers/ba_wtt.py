@@ -55,11 +55,26 @@ from tpu3drecon.solvers.trust_region import trust_region_solve
 
 
 def _window_idx(bucket: WTTBucket) -> jax.Array:
-    """(G, W/128) int32 camera-TILE indices of each chunk's window."""
-    wb = bucket.window // CAM_TILE
-    return bucket.cam_base[:, None] // CAM_TILE + jnp.arange(
+    """(G, W/128) int32 camera-TILE indices of each chunk's window.
+
+    With a hub/global split (bucket.global_tiles > 0) the last tiles are
+    the SHARED global region — identical for every chunk — matching the
+    one-hot row layout [local window rows | global rows] the packer emits
+    (problems/wtt.py).  Gather/scatter code downstream is tile-index
+    agnostic, so the hybrid layout costs nothing there."""
+    wb = (bucket.window - CAM_TILE * bucket.global_tiles) // CAM_TILE
+    idx = bucket.cam_base[:, None] // CAM_TILE + jnp.arange(
         wb, dtype=bucket.cam_base.dtype
     )[None, :]
+    if bucket.global_tiles:
+        gt = bucket.global_tile0 + jnp.arange(
+            bucket.global_tiles, dtype=bucket.cam_base.dtype
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(gt[None, :], (idx.shape[0], bucket.global_tiles))],
+            axis=1,
+        )
+    return idx
 
 
 def _window_rows(x: jax.Array, widx: jax.Array) -> jax.Array:
@@ -248,6 +263,17 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     triu = _triu_pairs(np_cam)
     n_triu = len(triu)
     use_sj = config.precond in ("schur_jacobi", "tridiag", "ssor")
+    if config.precond in ("tridiag", "ssor") and any(
+        b.global_tiles for b in problem.buckets
+    ):
+        # The S_{c,c+1} pair one-hot derives band entries from window-row
+        # adjacency == camera-id adjacency, which breaks at the local/global
+        # boundary of a hub split (hub cameras' couplings are scattered all
+        # over S, not on the band).
+        raise ValueError(
+            "band preconditioners (ssor/tridiag) are not supported with "
+            "hub/global camera tiles; use precond='schur_jacobi'"
+        )
     u_cols = jnp.zeros((c_pad, n_triu), dtype)
     g_cols = jnp.zeros((c_pad, np_cam), dtype)
     coup_cols = jnp.zeros((c_pad, n_triu), dtype)
