@@ -78,3 +78,54 @@ def bal_sequential_wtt(
     if chunk_multiple is not None:
         key += f"_cm{chunk_multiple}"
     return cached_problem(key, build, verbose=verbose)
+
+
+def bal_hub_wtt(
+    verbose: bool = True,
+    hub_fraction: float = 0.05,
+    hub_obs: int = 4000,
+    points_per_camera: int = 584,
+    track_span: int = 4,
+):
+    """BAL-scale HUB-STRUCTURED (photo-tourism co-visibility) wtt problem.
+
+    1712 cameras with ``hub_fraction`` interleaved overview hubs that each
+    observe ``hub_obs`` random points scene-wide — the core-periphery
+    structure of the reference's Reichstag/Sacre-Coeur-class datasets
+    (reference: src/benchmark_implementation/benchmark_datasets.py:30-66).
+    Packed through wtt_from_flat's AUTO mode, which must discover the
+    hub/global split itself (problems/reorder.plan_hub_camera_order).
+    Deferred one-hots, numpy leaves; place with utils/placement.commit and
+    materialize with problems.wtt.expand_onehots.
+    """
+    from tpu3drecon.utils.problem_cache import cached_problem
+
+    def build():
+        import jax
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            import jax.numpy as jnp
+
+            from tpu3drecon.dataset.synthetic import (
+                make_hub_scene,
+                perturb_scene,
+                scene_to_ba_problem,
+            )
+            from tpu3drecon.problems.wtt import wtt_from_flat
+
+            scene = make_hub_scene(
+                n_cameras=1712, points_per_camera=points_per_camera,
+                track_span=track_span, hub_fraction=hub_fraction,
+                hub_obs=hub_obs, seed=7,
+            )
+            noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
+            flat, _ = scene_to_ba_problem(
+                noisy, observed=scene, dtype=jnp.float32
+            )
+            return wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
+
+    key = (
+        f"balhub_1712x{points_per_camera}_span{track_span}"
+        f"_h{hub_fraction}x{hub_obs}_s7_n0.5_pc512_deferred_{_VERSION}"
+    )
+    return cached_problem(key, build, verbose=verbose)

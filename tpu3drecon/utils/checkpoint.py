@@ -40,7 +40,11 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_state(template, directory: str, step: Optional[int] = None):
-    """Restore the pytree saved at ``step`` (default: latest)."""
+    """Restore the pytree saved at ``step`` (default: latest).
+
+    ``template=None`` restores with the stored structure (a dict of numpy
+    arrays) — required when saved leaves differ in shape from the live
+    problem (permuted/padded engine layouts)."""
     import orbax.checkpoint as ocp
 
     if step is None:
@@ -49,8 +53,43 @@ def restore_state(template, directory: str, step: Optional[int] = None):
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.abspath(os.path.join(directory, f"step_{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=jax.device_get(template))
+        if template is None:
+            restored = ckptr.restore(path)
+        else:
+            restored = ckptr.restore(path, item=jax.device_get(template))
     return jax.tree_util.tree_map(np.asarray, restored)
+
+
+def update_problem_solution(problem, cams, pts):
+    """Re-inject a solver's (cameras, points) output into a packed problem.
+
+    Solver outputs are in ORIGINAL order (engines un-permute before
+    returning); packed layouts store points permuted+padded
+    (``point_rows[packed] = original``, -1 = padding) and, for wtt hub/RCM
+    relabelings, cameras relabeled (``cam_rows[new] = old``).  The naive
+    ``dataclasses.replace(problem, points3d=pts)`` is only correct for the
+    flat layout — this helper handles every engine's problem type.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rows = getattr(problem, "point_rows", None)
+    if rows is None:
+        new_pts = jnp.asarray(pts)
+    else:
+        rows = jnp.asarray(rows)
+        vals = jnp.asarray(pts)[jnp.clip(rows, 0, None)]
+        new_pts = jnp.where((rows >= 0)[:, None], vals, 0.0).astype(
+            problem.points3d.dtype
+        )
+    cam_rows = getattr(problem, "cam_rows", None)
+    if cam_rows is None:
+        new_cams = cams
+    else:
+        idx = jnp.asarray(cam_rows)
+        new_cams = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[idx], cams)
+    return dataclasses.replace(problem, cameras=new_cams, points3d=new_pts)
 
 
 def ba_solve_checkpointed(
@@ -65,9 +104,11 @@ def ba_solve_checkpointed(
     On restart with the same ``checkpoint_dir`` the solve continues from the
     last completed chunk (cameras/points restored; trust-region lambda
     restarts per chunk, which only costs a few extra accept/reject probes).
+    Works with any engine's packed problem: pass e.g.
+    ``solver_fn=lambda p, c: make_wtt_ba_solver(c)(p)`` — chunk iteration
+    counts are dynamic operands, so every chunk reuses one executable.
     """
-    import dataclasses
-
+    from tpu3drecon.problems.packing import CameraParams
     from tpu3drecon.solvers.bundle_adjust import ba_solve
 
     solver_fn = solver_fn or ba_solve
@@ -75,30 +116,23 @@ def ba_solve_checkpointed(
     chunk_config = config._replace(maxiter=chunk_iters)
 
     done = 0
+    cams, pts, state = problem.cameras, problem.points3d, None
     step0 = latest_step(checkpoint_dir)
     if step0 is not None:
-        saved = restore_state(
-            {
-                "rmats": problem.cameras.rmats,
-                "tvecs": problem.cameras.tvecs,
-                "fx_fy": problem.cameras.fx_fy,
-                "points3d": problem.points3d,
-            },
-            checkpoint_dir,
-        )
-        problem = dataclasses.replace(
-            problem,
-            cameras=dataclasses.replace(
-                problem.cameras,
-                rmats=jax.numpy.asarray(saved["rmats"]),
-                tvecs=jax.numpy.asarray(saved["tvecs"]),
-                fx_fy=jax.numpy.asarray(saved["fx_fy"]),
+        saved = restore_state(None, checkpoint_dir)
+        cams = CameraParams(
+            rmats=jax.numpy.asarray(saved["rmats"]),
+            tvecs=jax.numpy.asarray(saved["tvecs"]),
+            fx_fy=jax.numpy.asarray(saved["fx_fy"]),
+            cx_cy_skew=jax.numpy.asarray(
+                saved.get("cx_cy_skew", problem.cameras.cx_cy_skew)
             ),
-            points3d=jax.numpy.asarray(saved["points3d"]),
+            dist=jax.numpy.asarray(saved.get("dist", problem.cameras.dist)),
         )
+        pts = jax.numpy.asarray(saved["points3d"])
+        problem = update_problem_solution(problem, cams, pts)
         done = step0
 
-    cams, pts, state = problem.cameras, problem.points3d, None
     while done < total:
         cams, pts, state = solver_fn(problem, chunk_config)
         done += chunk_iters
@@ -107,18 +141,14 @@ def ba_solve_checkpointed(
                 "rmats": cams.rmats,
                 "tvecs": cams.tvecs,
                 "fx_fy": cams.fx_fy,
+                "cx_cy_skew": cams.cx_cy_skew,
+                "dist": cams.dist,
                 "points3d": pts,
             },
             checkpoint_dir,
             done,
         )
-        import dataclasses as _dc
-
-        problem = _dc.replace(
-            problem,
-            cameras=cams,
-            points3d=pts,
-        )
+        problem = update_problem_solution(problem, cams, pts)
         if state is not None and bool(jax.device_get(state.converged)):
             break
     return cams, pts, state
