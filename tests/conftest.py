@@ -65,6 +65,7 @@ _SLOW_NODE_PATTERNS = (
     "test_cli.py::test_solve_bal_precond_flag",
     "test_cli.py::test_solve_colmap_writeback",
     "test_cli.py::test_solve_bal_writes_output",
+    "test_cli.py::test_checkpoint_kill_and_resume",
     "test_pose_refine.py::test_float32_path",
     "test_tracking.py::test_many_frames_single_executable",
     "test_ba_pallas.py::test_pallas_solve_matches_grid_engine",

@@ -174,3 +174,68 @@ def test_info_runs(capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out)
     assert "engines" in payload and payload["native_io"] in (True, False)
+
+
+def test_checkpoint_kill_and_resume(bal_file, tmp_path):
+    """A killed chunked CLI solve resumes from its checkpoint to the same
+    final solution as an uninterrupted chunked run (round-4 verdict item 6)."""
+    import os
+    import signal
+    import time
+
+    from tpu3drecon.io.bal import ba_problem_from_bal
+
+    def cmd(ckdir, out):
+        # cg_maxiter 2 = inexact steps: the solve cannot converge inside
+        # one chunk, so every run walks all four chunk boundaries.
+        return [
+            sys.executable, "-m", "tpu3drecon", "solve-bal", bal_file,
+            "-o", str(out), "--cpu", "--f64", "--maxiter", "12",
+            "--cg-maxiter", "2", "--checkpoint-every", "3",
+            "--checkpoint-dir", str(ckdir),
+        ]
+
+    # Reference: uninterrupted chunked run.
+    ref_out = tmp_path / "ref.txt"
+    subprocess.run(
+        cmd(tmp_path / "ck_ref", ref_out), check=True, cwd="/root/repo",
+        timeout=300,
+    )
+
+    # Victim: kill -9 as soon as the first checkpoint chunk lands.  The
+    # fault-injection delay holds the process inside a deterministic
+    # window after each checkpoint write.
+    ckdir = tmp_path / "ck"
+    out = tmp_path / "solved.txt"
+    env = dict(os.environ, TPU3DRECON_CHECKPOINT_DELAY_S="5")
+    proc = subprocess.Popen(cmd(ckdir, out), cwd="/root/repo", env=env)
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            if ckdir.is_dir() and any(
+                p.name.startswith("step_") for p in ckdir.iterdir()
+            ):
+                break
+            if proc.poll() is not None:
+                pytest.fail("solve finished before the kill window")
+            time.sleep(0.2)
+        else:
+            pytest.fail("no checkpoint appeared in time")
+        time.sleep(0.5)  # let orbax finish its atomic rename
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=30)
+    assert not out.exists()  # killed before writing the solution
+
+    # Resume: same command, same checkpoint dir, runs to completion.
+    subprocess.run(cmd(ckdir, out), check=True, cwd="/root/repo", timeout=300)
+    resumed, _ = ba_problem_from_bal(str(out))
+    ref, _ = ba_problem_from_bal(str(ref_out))
+    np.testing.assert_allclose(
+        np.asarray(resumed.points3d), np.asarray(ref.points3d), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.cameras.tvecs), np.asarray(ref.cameras.tvecs),
+        atol=1e-9,
+    )

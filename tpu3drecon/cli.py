@@ -42,6 +42,16 @@ def _add_common(p):
         "otherwise",
     )
     p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="run the solve as resumable chunks with orbax checkpoints in "
+        "this directory; a killed run re-invoked with the same directory "
+        "resumes from the last completed chunk (utils/checkpoint.py)",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=10, metavar="N",
+        help="outer LM iterations per checkpoint chunk (default 10)",
+    )
+    p.add_argument(
         "--aot", action="store_true",
         help="compile through the persistent AOT executable cache "
         "(utils/aot_cache.py): pays the full XLA compile once per "
@@ -56,6 +66,10 @@ def _setup_backend(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "f64", False):
+        # Without this a fresh process would silently downcast the f64
+        # problem arrays to f32 (tests run under conftest's global x64).
+        jax.config.update("jax_enable_x64", True)
     from tpu3drecon.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -100,46 +114,21 @@ def _solve(problem, args, jax):
 
     config = _config(args, n_cameras=int(problem.n_cameras))
     rmse0 = float(reprojection_rmse(problem, problem.cameras, problem.points3d))
-    if args.engine == "pallas":
-        from tpu3drecon.problems.grid import grid_bucketed_from_flat
-        from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
-
-        from tpu3drecon.utils.placement import commit
-
-        grid = commit(grid_bucketed_from_flat(problem))
-        solver = make_pallas_ba_solver(
-            config, interpret=jax.default_backend() != "tpu"
-        )
-        run = lambda: solver(grid)  # noqa: E731
-    elif args.engine == "grid":
-        from tpu3drecon.problems.grid import grid_from_flat
-        from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
-
-        from tpu3drecon.utils.placement import commit
-
-        grid = commit(grid_from_flat(problem))
-        solver = make_grid_ba_solver(config)
-        run = lambda: solver(grid)  # noqa: E731
-    elif args.engine == "tt":
-        from tpu3drecon.problems.tt import tt_from_flat
-        from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
-
-        from tpu3drecon.utils.placement import commit
-
-        tt = commit(tt_from_flat(problem))
-        solver = make_tt_ba_solver(config, aot=args.aot)
-        run = lambda: solver(tt)  # noqa: E731
-    elif args.engine == "wtt":
+    # Each engine branch yields (packed problem, solver factory by config);
+    # the factories cache compiled executables by config, and iteration
+    # bounds ride as dynamic operands — so the checkpointed chunked driver
+    # below reuses ONE executable across chunks.
+    if args.engine == "wtt":
         from tpu3drecon.problems.wtt import wtt_from_flat
         from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
 
         from tpu3drecon.utils.placement import commit
 
         try:
-            wtt = commit(wtt_from_flat(problem))
+            packed = commit(wtt_from_flat(problem))
         except ValueError as e:
-            # Dislocal scene: even after RCM relabeling the camera windows
-            # exceed the one-hot memory budget.  Fall back to a
+            # Dislocal scene beyond even the hub/global split: the camera
+            # windows exceed the one-hot memory budget.  Fall back to a
             # layout-agnostic engine rather than dying: the Pallas fused
             # bucketed-grid engine on TPU (the fastest dislocal path —
             # RESULTS.md), the plain grid engine elsewhere (Pallas would
@@ -160,22 +149,9 @@ def _solve(problem, args, jax):
                 file=sys.stderr,
             )
             args.engine = fallback  # the summary line reports reality
-            if fallback == "pallas":
-                from tpu3drecon.problems.grid import grid_bucketed_from_flat
-                from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
-
-                grid = commit(grid_bucketed_from_flat(problem))
-                solver = make_pallas_ba_solver(config)
-            else:
-                from tpu3drecon.problems.grid import grid_from_flat
-                from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
-
-                grid = commit(grid_from_flat(problem))
-                solver = make_grid_ba_solver(config)
-            run = lambda: solver(grid)  # noqa: E731
         else:
             if config.precond in ("ssor", "tridiag") and any(
-                b.global_tiles for b in wtt.buckets
+                b.global_tiles for b in packed.buckets
             ):
                 # Hub/global split layout (dislocal scene): the band
                 # preconditioners' pair one-hots don't cover hub couplings.
@@ -186,20 +162,77 @@ def _solve(problem, args, jax):
                     file=sys.stderr,
                 )
                 config = config._replace(precond="schur_jacobi")
-            solver = make_wtt_ba_solver(config, aot=args.aot)
-            run = lambda: solver(wtt)  # noqa: E731
-    else:
-        solver = make_ba_solver(config)
-        run = lambda: solver(problem)  # noqa: E731
+            make_solver = lambda c: make_wtt_ba_solver(c, aot=args.aot)  # noqa: E731
+    if args.engine == "pallas":
+        from tpu3drecon.problems.grid import grid_bucketed_from_flat
+        from tpu3drecon.solvers.ba_pallas import make_pallas_ba_solver
 
-    t0 = time.perf_counter()
-    cams, pts, state = run()
-    jax.block_until_ready(pts)
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cams, pts, state = run()
-    jax.block_until_ready(pts)
-    solve_s = time.perf_counter() - t0
+        from tpu3drecon.utils.placement import commit
+
+        packed = commit(grid_bucketed_from_flat(problem))
+        interpret = jax.default_backend() != "tpu"
+        make_solver = lambda c: make_pallas_ba_solver(c, interpret=interpret)  # noqa: E731
+    elif args.engine == "grid":
+        from tpu3drecon.problems.grid import grid_from_flat
+        from tpu3drecon.solvers.ba_grid import make_grid_ba_solver
+
+        from tpu3drecon.utils.placement import commit
+
+        packed = commit(grid_from_flat(problem))
+        make_solver = make_grid_ba_solver
+    elif args.engine == "tt":
+        from tpu3drecon.problems.tt import tt_from_flat
+        from tpu3drecon.solvers.ba_tt import make_tt_ba_solver
+
+        from tpu3drecon.utils.placement import commit
+
+        packed = commit(tt_from_flat(problem))
+        make_solver = lambda c: make_tt_ba_solver(c, aot=args.aot)  # noqa: E731
+    elif args.engine == "flat":
+        packed = problem
+        make_solver = make_ba_solver
+
+    checkpoint_dir = getattr(args, "checkpoint_dir", None)
+    if checkpoint_dir:
+        from tpu3drecon.utils.checkpoint import ba_solve_checkpointed
+
+        # Resumable chunked solve: a killed run restarts from the last
+        # completed chunk (reference only checkpoints whole benchmark
+        # pickles: src/benchmark/benchmark.py:46-70 — this exceeds it).
+        t0 = time.perf_counter()
+        cams, pts, state = ba_solve_checkpointed(
+            packed, config, checkpoint_dir,
+            chunk_iters=args.checkpoint_every,
+            solver_fn=lambda p, c: make_solver(c)(p),
+        )
+        jax.block_until_ready(pts)
+        solve_s = time.perf_counter() - t0
+        compile_s = 0.0
+        if state is None:
+            print(
+                f"[tpu3drecon] checkpoint at {checkpoint_dir} already covers "
+                f"maxiter={config.maxiter}; returning checkpointed solution",
+                file=sys.stderr,
+            )
+            rmse1 = float(reprojection_rmse(problem, cams, pts))
+            print(
+                f"[tpu3drecon] {args.engine} engine on "
+                f"{jax.default_backend()}: RMSE {rmse0:.4f} -> {rmse1:.5f} px "
+                "(resumed complete)",
+                file=sys.stderr,
+            )
+            return cams, pts, state
+    else:
+        solver = make_solver(config)
+        run = lambda: solver(packed)  # noqa: E731
+        t0 = time.perf_counter()
+        cams, pts, state = run()
+        jax.block_until_ready(pts)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cams, pts, state = run()
+        jax.block_until_ready(pts)
+        solve_s = time.perf_counter() - t0
     rmse1 = float(reprojection_rmse(problem, cams, pts))
     print(
         f"[tpu3drecon] {args.engine} engine on {jax.default_backend()}: "

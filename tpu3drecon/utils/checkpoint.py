@@ -133,6 +133,10 @@ def ba_solve_checkpointed(
         problem = update_problem_solution(problem, cams, pts)
         done = step0
 
+    # Fault-injection hook: sleep after every checkpoint so kill/resume
+    # tests get a deterministic window to SIGKILL the process mid-run.
+    delay = float(os.environ.get("TPU3DRECON_CHECKPOINT_DELAY_S", "0") or 0)
+
     while done < total:
         cams, pts, state = solver_fn(problem, chunk_config)
         done += chunk_iters
@@ -148,6 +152,10 @@ def ba_solve_checkpointed(
             checkpoint_dir,
             done,
         )
+        if delay:
+            import time
+
+            time.sleep(delay)
         problem = update_problem_solution(problem, cams, pts)
         if state is not None and bool(jax.device_get(state.converged)):
             break
