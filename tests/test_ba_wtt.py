@@ -296,3 +296,47 @@ class TestDeferredOnehot:
             np.asarray(pts_a), np.asarray(pts_b), rtol=0, atol=1e-12
         )
         assert float(st_a.loss) == pytest.approx(float(st_b.loss), rel=1e-12)
+
+
+class TestPlaneBudgetAutotune:
+    def _fake_problem(self, onehot_gb):
+        import types
+
+        import numpy as np
+
+        class B:
+            pass
+
+        b = B()
+        n = int(onehot_gb * 1e9 / 2)  # bf16 entries
+        b.onehot = types.SimpleNamespace(
+            size=n, dtype=np.dtype(np.float16)
+        )
+        b.uv = types.SimpleNamespace(
+            size=1024, dtype=np.dtype(np.float32), shape=(1, 2, 4, 128)
+        )
+        b.mask = types.SimpleNamespace(size=512, dtype=np.dtype(np.float32))
+        p = types.SimpleNamespace(buckets=[b])
+        return p
+
+    def test_budget_clamps_to_hbm(self, monkeypatch):
+        from tpu3drecon.solvers import ba_wtt
+
+        monkeypatch.setattr(ba_wtt.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(ba_wtt, "_device_hbm_bytes", lambda: 15_500_000_000)
+        # Canonical BAL residency (~2.6 GB): clamp inactive, auto = 4.8 GB.
+        small = self._fake_problem(2.1)
+        assert ba_wtt._contrib_plane_budget(small) == 4_800_000_000
+        # A 10 GB one-hot problem: budget shrinks to what fits.
+        big = self._fake_problem(10.0)
+        budget = ba_wtt._contrib_plane_budget(big)
+        assert 300_000_000 <= budget < 4_800_000_000
+        # Pathological residency: floor holds.
+        huge = self._fake_problem(20.0)
+        assert ba_wtt._contrib_plane_budget(huge) == 300_000_000
+
+    def test_env_override_wins(self, monkeypatch):
+        from tpu3drecon.solvers import ba_wtt
+
+        monkeypatch.setenv("TPU3DRECON_PLANE_BYTES", "123456")
+        assert ba_wtt._contrib_plane_budget(self._fake_problem(10.0)) == 123456
