@@ -54,6 +54,7 @@ _SLOW_NODE_PATTERNS = (
     "test_sharding.py::test_sharded_pose_refinement_batch_dp",
     "test_sharding.py::test_bal_class_shapes_dry_run",
     "test_ba_wtt.py::TestWTTSolve",
+    "test_ba_wtt.py::TestWTTPrincipalPointAtScale",
     "test_intrinsics_refine.py::test_ba_with_intrinsics_calibration",
     "test_ba_tt.py::TestTTSolveModes",
     "test_ba_tt.py::TestTTSolveModes::test_fused_kernels_match_xla",

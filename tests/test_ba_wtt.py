@@ -340,3 +340,62 @@ class TestPlaneBudgetAutotune:
 
         monkeypatch.setenv("TPU3DRECON_PLANE_BYTES", "123456")
         assert ba_wtt._contrib_plane_budget(self._fake_problem(10.0)) == 123456
+
+
+class TestWTTPrincipalPointAtScale:
+    """Round-4 verdict item 5: pp refinement through wtt at BAL-ratio
+    camera counts, single-device and sharded (small-scale tt equality
+    already pinned in TestWTTJoint::test_joint_pp_matches_tt)."""
+
+    def test_pp_recovers_gt_bal_ratio(self):
+        import dataclasses
+
+        from tpu3drecon.dataset.synthetic import make_sequential_scene
+
+        # BAL-ratio: camera count >> window (128 cams, span-3 tracks).
+        scene = make_sequential_scene(
+            n_cameras=128, points_per_camera=12, track_span=3, seed=41
+        )
+        flat, _ = scene_to_ba_problem(scene, observed=scene, dtype=jnp.float64)
+        rng = np.random.default_rng(42)
+        delta = np.zeros((128, 3))
+        delta[:, :2] = rng.normal(scale=3.0, size=(128, 2))  # pixels
+        gt_ccs = np.array(flat.cameras.cx_cy_skew)
+        flat0 = dataclasses.replace(
+            flat,
+            cameras=dataclasses.replace(
+                flat.cameras, cx_cy_skew=jnp.asarray(gt_ccs + delta)
+            ),
+        )
+        wtt = wtt_from_flat(flat0, point_chunk=64, chunk_multiple=4)
+        assert wtt.c_pad < 256 or wtt.buckets[0].window < wtt.c_pad
+        config = BAConfig(
+            maxiter=40, cg_maxiter=40, cg_rtol=1e-10, optimize_pp=True
+        )
+        cams, pts, state = ba_solve_wtt(wtt, config)
+        # Line-trajectory scenes are gauge-weak and converge linearly
+        # (see TestShardedWTT notes): at 40 iters the measured point is
+        # rmse 5.7e-4 px with 89% of the pp perturbation recovered.
+        rmse = float(reprojection_rmse(flat, cams, pts))
+        assert rmse < 1e-3
+        err0 = np.abs(delta[:, :2]).mean()
+        err1 = np.abs(np.array(cams.cx_cy_skew)[:, :2] - gt_ccs[:, :2]).mean()
+        assert err1 < 0.15 * err0
+
+        # Sharded equality of the pp path on the 4-device mesh.
+        from tpu3drecon.parallel.mesh import make_mesh
+        from tpu3drecon.parallel.sharded_wtt import ba_solve_wtt_sharded
+
+        short = config._replace(maxiter=3, gtol=0.0, ftol=0.0)
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(
+            wtt, short, mesh=make_mesh(4)
+        )
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, short)
+        assert int(st_s.accepted) == int(st_1.accepted)
+        np.testing.assert_allclose(
+            np.asarray(cams_s.cx_cy_skew), np.asarray(cams_1.cx_cy_skew),
+            rtol=1e-9, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pts_s), np.asarray(pts_1), rtol=0, atol=1e-7
+        )

@@ -98,7 +98,10 @@ def run_pnp_parity(reps: int = 3, n_cameras: int = 8, n_points: int = 2300,
     )
     problem, _ = scene_to_pose_problem(noisy, observed=scene)
 
-    config = LMConfig(maxiter=100, gtol=1e-12, ftol=0.0, xtol=0.0)
+    # xtol stops once steps collapse (lambda railing after the floor): the
+    # accept-gated ftol never fires post-convergence (no strict decreases),
+    # and a fixed 100-iteration run burns 5x the time railing lambda.
+    config = LMConfig(maxiter=100, gtol=1e-10, ftol=1e-10, xtol=1e-8)
     compile_s, times, (cams, state) = _timed(
         lambda: refine_poses(
             problem, loss=RobustLoss.TRIVIAL, config=config

@@ -11,8 +11,16 @@ object-level wrapper with metadata tags lives in
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# Small 3x3/3-vector matmuls at explicit HIGHEST precision: these run on
+# OUTPUT/eval paths outside any default_matmul_precision scope, where
+# TPU's bf16 default silently costs ~1e-3 of rotation accuracy
+# (measured on the pose-refiner output path, round 4).
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 # Conjugation matrix flipping the Y axis (LH Unity <-> RH COLMAP).
 # Reference: src/dataset/camera_pose/constants.py:3-7.
@@ -42,12 +50,12 @@ def pose_inverse(rmat: jax.Array, tvec: jax.Array):
     Same math as CameraPose.inverse (camera_pose.py:64-71).
     """
     rinv = rmat.T
-    return rinv, -rinv @ tvec
+    return rinv, -_mm(rinv, tvec)
 
 
 def pose_compose(rmat_a, tvec_a, rmat_b, tvec_b):
     """Compose transforms: (a . b)(x) = a(b(x))."""
-    return rmat_a @ rmat_b, rmat_a @ tvec_b + tvec_a
+    return _mm(rmat_a, rmat_b), _mm(rmat_a, tvec_b) + tvec_a
 
 
 def pose_convert_coordinate_system(rmat: jax.Array, tvec: jax.Array):
@@ -57,12 +65,12 @@ def pose_convert_coordinate_system(rmat: jax.Array, tvec: jax.Array):
     R' = C R C, t' = C t.
     """
     conv = jnp.asarray(_CONVERSION_NP, rmat.dtype)
-    return conv @ rmat @ conv, conv @ tvec
+    return _mm(_mm(conv, rmat), conv), _mm(conv, tvec)
 
 
 def pose_apply(rmat: jax.Array, tvec: jax.Array, xyz: jax.Array) -> jax.Array:
     """Apply pose to 3D point(s): R x + t (xyz may have leading batch dims)."""
-    return xyz @ rmat.T + tvec
+    return _mm(xyz, rmat.T) + tvec
 
 
 def pose_to_matrix_3x4(rmat: jax.Array, tvec: jax.Array) -> jax.Array:
@@ -81,7 +89,7 @@ def camera_center(rmat_w2c: jax.Array, tvec_w2c: jax.Array) -> jax.Array:
 
     Counterpart of CameraPose.position (camera_pose.py:109-113).
     """
-    return -(rmat_w2c.T @ tvec_w2c)
+    return -_mm(rmat_w2c.T, tvec_w2c)
 
 
 def rotation_geodesic_angle(rmat_a: jax.Array, rmat_b: jax.Array) -> jax.Array:
@@ -90,7 +98,7 @@ def rotation_geodesic_angle(rmat_a: jax.Array, rmat_b: jax.Array) -> jax.Array:
     Robust counterpart of compute_rotation_error_in_rad
     (camera_pose.py:301-313).
     """
-    rel = rmat_a.T @ rmat_b
+    rel = _mm(rmat_a.T, rmat_b)
     cos = (jnp.trace(rel) - 1.0) * 0.5
     return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
 
@@ -100,7 +108,7 @@ def rotation_identity_error(rmat_a: jax.Array, rmat_b: jax.Array) -> jax.Array:
 
     Counterpart of compute_rotation_error (camera_pose.py:285-299).
     """
-    rel = rmat_a.T @ rmat_b
+    rel = _mm(rmat_a.T, rmat_b)
     return jnp.linalg.norm(rel - jnp.eye(3, dtype=rmat_a.dtype))
 
 

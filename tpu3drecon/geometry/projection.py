@@ -42,8 +42,12 @@ def make_intrinsics_matrix(fx_fy: jax.Array, cx_cy_skew: jax.Array) -> jax.Array
 
 
 def world_to_camera(rmat: jax.Array, tvec: jax.Array, xyz: jax.Array) -> jax.Array:
-    """World point -> camera-frame point for a W2C extrinsic (R, t)."""
-    return rmat @ xyz + tvec
+    """World point -> camera-frame point for a W2C extrinsic (R, t).
+
+    Explicit HIGHEST precision: this also runs on eval/output paths outside
+    any default_matmul_precision scope, where TPU's bf16 matmul default
+    would cost whole pixels of projection accuracy (round-4 finding)."""
+    return jnp.matmul(rmat, xyz, precision=jax.lax.Precision.HIGHEST) + tvec
 
 
 def radial_factor(m: jax.Array, dist: jax.Array) -> jax.Array:

@@ -43,7 +43,11 @@ def rodrigues_to_matrix(rvec: jax.Array) -> jax.Array:
     which produces NaN at exactly zero rotation.
     """
     dtype = rvec.dtype
-    theta2 = jnp.dot(rvec, rvec)
+    # sum(v*v), not dot: TPU lowers jnp.dot to a bf16 MXU dot by default,
+    # and this module's callers include OUTPUT paths outside any
+    # default_matmul_precision context (measured: bf16 here put ~6e-3 rad
+    # of error on converged pose-refiner results — round 4).
+    theta2 = jnp.sum(rvec * rvec)
     small = theta2 < jnp.asarray(1e-8, dtype)
     # Guarded denominators: both branches of each where must be finite (and
     # have finite grads) or reverse-mode AD produces 0 * inf = NaN.
@@ -52,7 +56,8 @@ def rodrigues_to_matrix(rvec: jax.Array) -> jax.Array:
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     k = skew(rvec)
-    return jnp.eye(3, dtype=dtype) + a * k + b * (k @ k)
+    kk = jnp.matmul(k, k, precision=jax.lax.Precision.HIGHEST)
+    return jnp.eye(3, dtype=dtype) + a * k + b * kk
 
 
 def matrix_to_quat(rmat: jax.Array) -> jax.Array:
@@ -117,7 +122,7 @@ def quat_to_rodrigues(q: jax.Array) -> jax.Array:
     q = jnp.where(q[0] < 0, -q, q)  # w >= 0 => angle in [0, pi]
     w = q[0]
     v = q[1:]
-    n2 = jnp.dot(v, v)
+    n2 = jnp.sum(v * v)  # not jnp.dot: bf16 on TPU outside precision scopes
     small = n2 < jnp.asarray(1e-12, dtype)
     n = jnp.sqrt(jnp.where(small, jnp.ones((), dtype), n2))
     w_safe = jnp.where(small, w, jnp.ones((), dtype))  # w can be 0 at theta=pi
@@ -130,7 +135,7 @@ def quat_to_rodrigues(q: jax.Array) -> jax.Array:
 def rodrigues_to_quat(rvec: jax.Array) -> jax.Array:
     """Rodrigues vector -> unit quaternion (wxyz), safe near zero."""
     dtype = rvec.dtype
-    theta2 = jnp.dot(rvec, rvec)
+    theta2 = jnp.sum(rvec * rvec)  # not jnp.dot: bf16 on TPU (see above)
     small = theta2 < jnp.asarray(1e-8, dtype)
     theta = jnp.sqrt(jnp.where(small, jnp.ones((), dtype), theta2))
     half = 0.5 * theta

@@ -597,6 +597,10 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
             pair_oh = oh[:, : n_cols - pb] * jnp.roll(oh, -1, axis=0)[:, pb:]
             od_flat = od.reshape(np_cam * np_cam, -1)
             e_cols = e_cols + jnp.einsum("kn,cn->ck", od_flat, pair_oh)
+        if config.matvec_bf16:
+            # Matvec-side planes in bf16 (see BAConfig.matvec_bf16): the
+            # f32 jc/jp were already consumed by the reductions above.
+            jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
         bucket_normals.append(
             TTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
@@ -731,6 +735,10 @@ def ba_solve_tt(
     if kernels and config.precond in ("tridiag", "ssor"):
         raise ValueError(
             f"precond={config.precond!r} is not fused yet; use kernels=False"
+        )
+    if kernels and config.matvec_bf16:
+        raise ValueError(
+            "matvec_bf16 applies to the XLA matvec path; use kernels=False"
         )
     with jax.default_matmul_precision("highest"):
         pts_list = []

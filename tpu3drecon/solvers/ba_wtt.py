@@ -405,6 +405,12 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
             e_cols = e_cols + _scatter_rows(
                 jnp.concatenate(erow_parts, axis=0), widx, c_pad
             )
+        if config.matvec_bf16:
+            # Matvec-side planes in bf16: the linearization reductions above
+            # consumed the f32 jc/jp; everything downstream (CG matvecs,
+            # rhs, back-substitution) reads these at half the HBM bytes,
+            # with products promoting back to f32 (BAConfig.matvec_bf16).
+            jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
         bucket_normals.append(
             WTTBucketNormal(jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt)
         )
@@ -516,6 +522,10 @@ def ba_solve_wtt(
             "problem has deferred one-hots (wtt_from_flat(defer_onehot=True));"
             " materialize them on the target device first: problems.wtt."
             "expand_onehots(commit(problem))"
+        )
+    if config.matvec_kernel and config.matvec_bf16:
+        raise ValueError(
+            "matvec_bf16 applies to the XLA matvec path; disable matvec_kernel"
         )
     with jax.default_matmul_precision("highest"):
         pts_list = []

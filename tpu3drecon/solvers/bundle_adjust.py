@@ -89,6 +89,15 @@ class BAConfig(NamedTuple):
     # pending interleaved TPU A/B; step-equivalent either way
     # (tests/test_ba_wtt.py).
     matvec_kernel: bool = False
+    # Track-table engines: store the per-slot jc/jp Jacobian planes used by
+    # the CG matvec / rhs / back-substitution in bfloat16 (the U/V/coupling
+    # reductions inside the linearization stay f32).  The CG matvec streams
+    # are the dominant HBM term at BAL scale (72% of bytes/iter —
+    # experiments/roofline.py), and jc/jp are half of that stream; CG runs
+    # inexact (fixed budget) anyway, so a ~0.4% matvec perturbation costs
+    # step quality far less than the bandwidth it saves.  Off by default;
+    # see RESULTS.md round 4 for the interleaved A/B.
+    matvec_bf16: bool = False
     # complex64-pack the transport gathers (pallas engine).  MEASURED NEGATIVE
     # on TPU v5e (RESULTS.md round 2): packing made the solve 2.9x SLOWER
     # (complex64 gathers hit an XLA slow path) — keep False; the code path
