@@ -47,6 +47,20 @@ def pytest_configure(config):
 # Matched by nodeid substring and marked slow; everything else is the fast
 # tier (`pytest -m fast` — every module's core invariants in <5 min).
 _SLOW_NODE_PATTERNS = (
+    # Round-4 fast-tier budget trim (measured with -n 8 --durations on a
+    # loaded host; each module keeps cheaper invariant coverage in-tier):
+    "test_ba_wtt.py::TestDeferredOnehot::test_solve_equality_via_deferred",
+    "test_tridiag.py::TestSSOR::test_wtt_engine_ssor_matches_tt",
+    "test_tridiag.py::TestSSOR::test_tt_engine_ssor",
+    "test_tridiag.py::TestTTTridiag::test_offdiag_blocks_exact",
+    "test_tridiag.py::TestWTTTridiag::test_wtt_matches_tt_trajectory",
+    "test_tridiag.py::TestTTTridiag::test_solve_equals_schur_jacobi_at_convergence",
+    "test_utils.py::TestProblemCache::test_wtt_problem_round_trips",
+    "test_suite.py::test_bal_ratio_tiny",
+    "test_aot_cache.py::test_aot_wrap_solver",
+    "test_reorder.py::TestHubSplit::test_band_precond_rejected_with_hub_tiles",
+    "test_cli.py::test_solve_bal_wtt_infeasible_falls_back_to_grid",
+    "test_pallas_kernels.py::test_cam_normal_matches_grid_engine",
     "test_sharded_wtt.py",
     "test_sharded_tt.py",
     "test_sharded_grid.py",
