@@ -43,7 +43,10 @@ def wtt_model(problem, cg_iters=8, np_cam=8):
         S = g * tb * pc  # slot columns
         P = g * pc  # point columns
         W = b.window
-        O = W * S * 2  # bf16 one-hot bytes
+        # one-hot bytes: deferred problems carry onehot=None and expand to
+        # the int8 default (problems/wtt.py expand_onehots).
+        oh_itemsize = 1 if b.onehot is None else b.onehot.dtype.itemsize
+        O = W * S * oh_itemsize
 
         # -- linearization --
         add("lin: one-hot read (cam planes)", O)
@@ -101,6 +104,7 @@ def tt_model(problem, cg_iters=8, np_cam=8):
         nb = _B()
         nb.uv = type("A", (), {"shape": (1, 2, tb, pb)})()
         nb.window = b.onehot.shape[0]  # C (dense one-hot rows)
+        nb.onehot = b.onehot
         buckets.append(nb)
     fake.buckets = buckets
     return wtt_model(fake, cg_iters, np_cam)
@@ -138,19 +142,20 @@ def main():
     report("tt engine, medium bench (100 cams / 200k obs)", items, flops,
            0.1365 / 30)
 
-    # BAL sequential, wtt engine: 0.1481 s/LM-iter (round-4 session).
+    # BAL sequential, wtt engine: 0.1141 s/LM-iter (round-4 int8 one-hots,
+    # interleaved with the hub run below; bf16 measured 0.1481 same config).
     seq = bal_sequential_wtt(verbose=False)
     items, flops = wtt_model(seq, cg_iters=8)
     report("wtt engine, BAL sequential (1712 cams / 3.8M obs)", items,
-           flops, 0.1481)
+           flops, 0.1141)
 
-    # BAL hub (round 4): 0.2657 s/LM-iter.
+    # BAL hub (round 4, int8 one-hots): 0.2168 s/LM-iter (bf16: 0.2657).
     from tpu3drecon.benchmark.balscale import bal_hub_wtt
 
     hub = bal_hub_wtt(verbose=False)
     items, flops = wtt_model(hub, cg_iters=8)
     report("wtt engine, BAL hub split (1712 cams / 3.96M obs)", items,
-           flops, 0.2657)
+           flops, 0.2168)
 
 
 if __name__ == "__main__":

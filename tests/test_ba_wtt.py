@@ -276,6 +276,25 @@ class TestDeferredOnehot:
         dense = sum(b.onehot.size * b.onehot.dtype.itemsize for b in direct.buckets)
         assert compact * 8 <= dense  # >= 8x smaller host->device stream
 
+    def test_onehot_dtype_ladder_bit_identical(self, seq_problem):
+        """{0,1} is exact in bf16/int8/float8: every encoding must produce
+        bit-equal dot inputs, hence bit-identical solves (the 1-byte
+        encodings exist to compress the dominant matvec HBM stream —
+        experiments/tpu_onehot_dtype.py)."""
+        from tpu3drecon.problems.wtt import expand_onehots
+        from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
+
+        deferred = wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True)
+        solver = make_wtt_ba_solver(
+            BAConfig(maxiter=2, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=0.0)
+        )
+        losses = {}
+        for dt in (jnp.bfloat16, jnp.int8, jnp.float8_e4m3fn, jnp.int4):
+            p = expand_onehots(deferred, onehot_dtype=dt)
+            assert p.buckets[0].onehot.dtype == jnp.dtype(dt)
+            losses[jnp.dtype(dt).name] = float(solver(p)[2].loss)
+        assert len(set(losses.values())) == 1, losses
+
     def test_engine_rejects_deferred(self, seq_problem):
         deferred = wtt_from_flat(seq_problem, point_chunk=64, defer_onehot=True)
         with pytest.raises(ValueError, match="expand_onehots"):

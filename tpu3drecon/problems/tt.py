@@ -108,11 +108,14 @@ def tt_from_flat(
     ``ValueError`` when the one-hot matrices would exceed ``max_onehot_bytes``
     (large camera counts belong on the windowed engine, problems/wtt.py).
 
-    ``onehot_dtype`` defaults to bfloat16: {0,1} is exactly representable,
-    the engine's mixed-precision contractions convert it back exactly (the
-    convert fuses into the matmul operand read), and the dominant HBM
-    stream halves — measured 1.3-1.55x on the contraction kernels
-    (experiments/tpu_bf16_onehot.py) with bit-identical results.
+    ``onehot_dtype`` defaults to int8: {0,1} is exactly representable, the
+    engine's mixed-precision contractions convert it back exactly (the
+    widening convert fuses into the matmul operand read — proven for bf16
+    at 1.3-1.55x vs f32, experiments/tpu_bf16_onehot.py), and the 1-byte
+    encoding halves the stream again: neutral at bench scale where the
+    one-hot is small, 25% end-to-end at BAL scale on the wtt engine
+    (0.106 vs 0.141 s/LM-iter, experiments/tpu_onehot_dtype.py, round 4).
+    float8 measures slightly slower than int8; bf16 stays available.
 
     ``onehot_dtype="bits"`` packs the one-hot 8 slots/byte (uint8,
     bit-plane-within-tile order — see the pack-time comment): a further 16x cut
@@ -135,10 +138,11 @@ def tt_from_flat(
     )
     import jax.numpy as _jnp
 
-    oh_dtype = _jnp.bfloat16 if onehot_dtype is None else onehot_dtype
-    onehot_bytes = C * total_slots * _jnp.dtype(oh_dtype).itemsize
+    oh_dtype = _jnp.int8 if onehot_dtype is None else onehot_dtype
     if bit_pack:
-        onehot_bytes //= 16
+        onehot_bytes = C * total_slots // 8  # 8 slots per uint8 byte
+    else:
+        onehot_bytes = C * total_slots * _jnp.dtype(oh_dtype).itemsize
     if onehot_bytes > max_onehot_bytes:
         raise ValueError(
             f"track-table one-hot would be {onehot_bytes / 1e9:.2f} GB "

@@ -143,7 +143,7 @@ def expand_onehots(problem: BAWTTProblem, onehot_dtype=None) -> BAWTTProblem:
     at BAL scale that replaces a ~2 GB transfer with a ~15 MB one
     (experiments/balscale_dryrun.py tpu_wtt_defer).
     """
-    dt = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
+    dt = jnp.int8 if onehot_dtype is None else onehot_dtype
     buckets = []
     for b in problem.buckets:
         if b.onehot is not None:
@@ -270,7 +270,7 @@ def wtt_from_flat(
     n_local = problem.n_cameras
     if reorder_cameras not in ("auto", "always", "never", "hub"):
         raise ValueError(f"reorder_cameras={reorder_cameras!r}")
-    oh_dtype_early = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
+    oh_dtype_early = jnp.int8 if onehot_dtype is None else onehot_dtype
     if reorder_cameras != "never":
         from tpu3drecon.problems.reorder import (
             estimate_local_window,
@@ -336,10 +336,13 @@ def wtt_from_flat(
     C, K = guv.shape[:2]
     uv_flat = guv.reshape(C * K, 2)
     np_dtype = uv_flat.dtype
-    # bf16 one-hot storage by default: {0,1} converts back exactly inside
-    # the engine's contractions and halves the dominant HBM stream
-    # (measured 1.3-1.55x, experiments/tpu_bf16_onehot.py).
-    oh_dtype = jnp.bfloat16 if onehot_dtype is None else onehot_dtype
+    # int8 one-hot storage by default: {0,1} converts back exactly inside
+    # the engine's contractions (the widening convert fuses into the dot
+    # read — proven for bf16 at 1.3-1.55x vs f32, then measured again for
+    # int8 at 25% end-to-end over bf16 at BAL scale: 0.106 vs 0.141
+    # s/LM-iter, experiments/tpu_onehot_dtype.py, round 4).  The dominant
+    # matvec HBM stream is 4x smaller than f32.
+    oh_dtype = jnp.int8 if onehot_dtype is None else onehot_dtype
     c_pad = _pad_up(max(C, 1), CAM_TILE)
     Pc = point_chunk
 

@@ -69,9 +69,14 @@ def _flat_onehot(bucket: TTBucket) -> jax.Array:
             "bit-packed one-hot (tt_from_flat(onehot_dtype='bits')) requires "
             "the fully-fused engine: ba_solve_tt(..., kernels='full')"
         )
-    if bucket.onehot.ndim == 2:
-        return bucket.onehot
-    return bucket.onehot.reshape(bucket.onehot.shape[0], -1)
+    oh = bucket.onehot
+    if oh.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int4):
+        # float8/int4 refuse implicit promotion; bf16/int8 ride it (the
+        # widening convert folds into the dot read — see ba_wtt._ohf).
+        oh = oh.astype(bucket.uv.dtype)
+    if oh.ndim == 2:
+        return oh
+    return oh.reshape(oh.shape[0], -1)
 
 
 def _cam_planes(table: jax.Array, bucket: TTBucket) -> jax.Array:

@@ -94,12 +94,27 @@ def _scatter_rows(rows: jax.Array, widx: jax.Array, c_pad: int) -> jax.Array:
     return out.reshape(c_pad, d)
 
 
+def _ohf(oh: jax.Array, dtype) -> jax.Array:
+    """One-hot operand for an einsum against ``dtype`` data.
+
+    bf16/int8 {0,1} one-hots ride jnp's implicit promotion (the widening
+    convert folds into the dot read — measured 1.3-1.55x for bf16,
+    experiments/tpu_bf16_onehot.py).  float8/int4 refuse implicit
+    promotion, so they get the identical explicit convert here; every
+    encoding produces bit-equal f32 dot inputs
+    (experiments/tpu_onehot_dtype.py).
+    """
+    if oh.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int4):
+        return oh.astype(dtype)
+    return oh
+
+
 def _cam_planes_w(table_pad: jax.Array, bucket: WTTBucket) -> jax.Array:
     """Per-slot camera parameters (G, D, Tb, Pc) via windowed one-hot matmul."""
     g, _, tb, pc = bucket.uv.shape
     widx = _window_idx(bucket)
     tw = _window_rows(table_pad, widx)  # (G, W, D)
-    planes = jnp.einsum("gwd,gwn->gdn", tw, bucket.onehot)
+    planes = jnp.einsum("gwd,gwn->gdn", tw, _ohf(bucket.onehot, tw.dtype))
     return planes.reshape(g, table_pad.shape[1], tb, pc)
 
 
@@ -206,7 +221,9 @@ def _reduce_to_cams_w(planes: jax.Array, bucket: WTTBucket, c_pad: int) -> jax.A
     widx = _window_idx(bucket)
     k, g, tb, pc = planes.shape
     rows = jnp.einsum(
-        "kgn,gwn->gwk", planes.reshape(k, g, tb * pc), bucket.onehot
+        "kgn,gwn->gwk",
+        planes.reshape(k, g, tb * pc),
+        _ohf(bucket.onehot, planes.dtype),
     )
     return _scatter_rows(rows, widx, c_pad)
 
@@ -234,7 +251,9 @@ def _wt_times_bucket_w(bn: WTTBucketNormal, x_pad: jax.Array, bucket: WTTBucket)
     _, g, tb, pc = bn.jp.shape
     widx = _window_idx(bucket)
     xw = _window_rows(x_pad, widx)  # (G, W, np)
-    xg = jnp.einsum("gwi,gwn->ign", xw, bucket.onehot).reshape(np_cam, g, tb, pc)
+    xg = jnp.einsum(
+        "gwi,gwn->ign", xw, _ohf(bucket.onehot, xw.dtype)
+    ).reshape(np_cam, g, tb, pc)
     s0 = sum(bn.jc[i] * xg[i] for i in range(np_cam))
     s1 = sum(bn.jc[np_cam + i] * xg[i] for i in range(np_cam))
     return jnp.stack(
@@ -365,7 +384,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         for g0 in range(0, g_b, gc):
             g1 = min(g0 + gc, g_b)
             jc_s, jp_s, r_s = jc[:, g0:g1], jp[:, g0:g1], r[:, g0:g1]
-            oh_s = bucket.onehot[g0:g1]
+            oh_s = _ohf(bucket.onehot[g0:g1], jc_s.dtype)
             contribs = _u_g_contribs_batched(jc_s, r_s, np_cam, triu)
             if use_sj:
                 # v_inv is (6, G, Pc): broadcast over the Tb slot axis.
