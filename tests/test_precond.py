@@ -83,3 +83,85 @@ def test_precond_choice_same_optimum():
     _, pts_u, st_u = ba_solve(problem, BAConfig(precond="jacobi_u", **base))
     _, pts_s, st_s = ba_solve(problem, BAConfig(precond="schur_jacobi", **base))
     np.testing.assert_allclose(np.asarray(pts_u), np.asarray(pts_s), atol=1e-6)
+
+
+class TestBreakdownGuards:
+    """Schur-Jacobi indefiniteness + PCG NaN breakdown (round-4 BAL finding).
+
+    At small LM damping a Schur-diagonal block can go indefinite: its
+    cholesky is NaN, which poisons PCG from z0, and pcg's residual test
+    (``dot(r,r) > tol2``) is false for NaN so CG exits after 1 iteration
+    with a junk step — measured at BAL scale as cg_iters collapsing to 1
+    and 2 rejected LM iterations per lambda drop
+    (experiments/tpu_wtt_cgexit.py)."""
+
+    def test_guarded_cholesky_falls_back_per_block(self):
+        from tpu3drecon.solvers.pcg import guarded_block_cholesky
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(3, 8, 8))
+        u_d = jnp.asarray(a @ np.transpose(a, (0, 2, 1)) + 8 * np.eye(8))
+        precond = np.asarray(u_d).copy()
+        precond[1] -= 50.0 * np.eye(8)  # indefinite block
+        chol = guarded_block_cholesky(jnp.asarray(precond), u_d)
+        assert not np.isnan(np.asarray(chol)).any()
+        # Healthy blocks keep the Schur factor bit-identically...
+        expect = np.linalg.cholesky(precond[0])
+        np.testing.assert_array_equal(np.asarray(chol[0]), expect)
+        # ...the indefinite block uses the damped-U fallback.
+        np.testing.assert_array_equal(
+            np.asarray(chol[1]), np.linalg.cholesky(np.asarray(u_d[1]))
+        )
+
+    def test_pcg_nan_precond_returns_finite_zero_step(self):
+        from tpu3drecon.solvers.pcg import pcg
+
+        a = np.diag(np.arange(1.0, 9.0))
+        out = pcg(
+            lambda p: jnp.asarray(a) @ p,
+            lambda r: r * jnp.nan,  # NaN preconditioner (broken cholesky)
+            jnp.ones(8),
+            maxiter=8,
+            rtol=0.0,
+        )
+        x = np.asarray(out.x)
+        assert np.isfinite(x).all()
+        np.testing.assert_array_equal(x, np.zeros(8))
+
+    def test_pcg_mid_breakdown_keeps_last_finite_iterate(self):
+        from tpu3drecon.solvers.pcg import pcg
+
+        a = jnp.asarray(np.diag(np.arange(1.0, 9.0)))
+        b = jnp.ones(8)
+        # Clean residual-norm trajectory picks a threshold that fires the
+        # poisoned preconditioner exactly after the 3rd iterate is formed.
+        clean3 = pcg(lambda p: a @ p, lambda r: r, b, 3, 0.0)
+        clean2 = pcg(lambda p: a @ p, lambda r: r, b, 2, 0.0)
+        rr3 = float(jnp.sum(clean3.r ** 2))
+        rr2 = float(jnp.sum(clean2.r ** 2))
+        assert rr3 < rr2
+        thresh = 0.5 * (rr2 + rr3)
+
+        def precond_poison(r):
+            return jnp.where(jnp.sum(r ** 2) < thresh, jnp.nan, 1.0) * r
+
+        out = pcg(lambda p: a @ p, precond_poison, b, 8, 0.0)
+        # Iteration 3 forms a finite x (the NaN enters via z AFTER the
+        # iterate update); iteration 4 goes NaN and the loop exits — the
+        # guard must return the last finite iterate, not the junk x.
+        assert np.isfinite(np.asarray(out.x)).all()
+        np.testing.assert_array_equal(np.asarray(out.x), np.asarray(clean3.x))
+        assert int(out.iters) == 4
+
+    def test_bundle_adjust_survives_nan_cg_regime(self):
+        """End-to-end: schur_jacobi solve equals plain-jacobi optimum even
+        when driven to tiny damping (init_lambda small) where the Schur
+        blocks risk indefiniteness."""
+        problem = _small_problem()
+        config = BAConfig(
+            maxiter=25, gtol=1e-14, cg_maxiter=60, cg_rtol=1e-12,
+            init_lambda=1e-8, precond="schur_jacobi",
+        )
+        _, _, st = ba_solve(problem, config)
+        assert np.isfinite(float(st.loss))
+        assert float(st.loss) < 1e-8

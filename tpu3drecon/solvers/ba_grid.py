@@ -30,7 +30,7 @@ from tpu3drecon.ops.jacobians import apply_se3_retraction
 from tpu3drecon.problems.grid import BAGridProblem
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
-from tpu3drecon.solvers.pcg import pcg
+from tpu3drecon.solvers.pcg import guarded_block_cholesky, pcg
 from tpu3drecon.solvers.schur import inv3x3
 
 
@@ -220,13 +220,15 @@ def build_grid_normal(
         )
         coupling = jnp.einsum("ckil,ckml->cim", wv, w_cell)
         precond_mat = u_d - coupling
+        u_chol = guarded_block_cholesky(precond_mat, u_d)
     else:
         precond_mat = u_d
+        u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     return GridNormal(
         u=u_d,
         v_inv=v_inv,
-        u_chol=jax.vmap(jnp.linalg.cholesky)(precond_mat),
+        u_chol=u_chol,
         g_cam=g_cam,
         g_pt=g_pt,
         damp_cam=damp_cam,

@@ -37,7 +37,7 @@ from tpu3drecon.problems.grid import (
 )
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState
-from tpu3drecon.solvers.pcg import cho_block_precond, pcg
+from tpu3drecon.solvers.pcg import cho_block_precond, guarded_block_cholesky, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
 _POINT_BLOCK = 512
@@ -161,9 +161,10 @@ def _linearize(params, lam, problem, config: BAConfig, interpret: bool):
         vinv6_g = jnp.transpose(vinv6[problem.pt_idx], (0, 2, 1))  # (C,6,K)
         coupling = coupling_fused(jc, jp, vinv6_g, interpret=interpret)
         precond_mat = u_d - coupling
+        u_chol = guarded_block_cholesky(precond_mat, u_d)
     else:
         precond_mat = u_d
-    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+        u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     return PlaneNormal(
         u_chol=u_chol, u=u_d, g_cam=g_cam, g_pt=g_pt, v_inv=v_inv,

@@ -39,7 +39,7 @@ from tpu3drecon.problems.grid import unpermute_points
 from tpu3drecon.problems.packing import CameraParams
 from tpu3drecon.problems.tt import BATTProblem, TTBucket
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, n_cam_params
-from tpu3drecon.solvers.pcg import cho_block_precond, pcg
+from tpu3drecon.solvers.pcg import cho_block_precond, guarded_block_cholesky, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
 # Column layout of the packed per-camera parameter table fed through the
@@ -622,9 +622,10 @@ def _linearize(params, lam, problem, config: BAConfig, axis_name=None,
     u_d = u0 + damp_cam[..., None] * eye
     if use_sj:
         precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
+        u_chol = guarded_block_cholesky(precond_mat, u_d)
     else:
         precond_mat = u_d
-    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+        u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     tridiag = None
     if config.precond in ("tridiag", "ssor"):

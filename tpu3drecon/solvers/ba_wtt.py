@@ -50,7 +50,7 @@ from tpu3drecon.solvers.ba_tt import (
     _unpack_sym,
 )
 from tpu3drecon.solvers.bundle_adjust import BAConfig, BAState, n_cam_params
-from tpu3drecon.solvers.pcg import cho_block_precond, pcg
+from tpu3drecon.solvers.pcg import cho_block_precond, guarded_block_cholesky, pcg
 from tpu3drecon.solvers.trust_region import trust_region_solve
 
 
@@ -445,10 +445,11 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     u_d = u0 + damp_cam[..., None] * eye
     if use_sj:
         precond_mat = u_d - _unpack_sym(coup_cols, np_cam)
+        u_chol = guarded_block_cholesky(precond_mat, u_d)
     else:
         precond_mat = u_d
-    # Padding cameras have u0 = 0 and damp = lam*1e-8: SPD, inert.
-    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+        # Padding cameras have u0 = 0 and damp = lam*1e-8: SPD, inert.
+        u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
 
     tridiag = None
     if config.precond in ("tridiag", "ssor"):

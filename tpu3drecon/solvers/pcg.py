@@ -51,11 +51,11 @@ def pcg(
     tol2 = jnp.asarray(rtol, dtype) ** 2 * b_norm2
 
     def cond(st):
-        _, r, _, _, _, i = st
+        _, r, _, _, _, i, _ = st
         return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
 
     def body(st):
-        x, r, z, p, rz, i = st
+        x, r, z, p, rz, i, x_good = st
         sp = matvec(p)
         psp = dot(p, sp)
         alpha = rz / jnp.where(jnp.abs(psp) < 1e-32, 1.0, psp)
@@ -64,12 +64,42 @@ def pcg(
         z = precond(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-32, 1.0, rz)
-        return (x, r, z, z + beta * p, rz_new, i + 1)
+        # Breakdown guard: a NaN/inf iterate (overflowing matvec, NaN
+        # preconditioner) makes ``dot(r, r) > tol2`` false, so the loop
+        # exits — but the junk x would poison the LM candidate.  Track the
+        # last finite iterate and return that instead; on healthy solves
+        # the select is identity (bit-identical results).
+        ok = jnp.isfinite(dot(x, x) + dot(r, r))
+        x_good = jnp.where(ok, x, x_good)
+        return (x, r, z, z + beta * p, rz_new, i + 1, x_good)
 
-    x, r, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    zero = jnp.zeros_like(b)
+    x, r, _, _, _, iters, x_good = jax.lax.while_loop(
+        cond, body, (zero, b, z0, z0, rz0, jnp.zeros((), jnp.int32), zero)
     )
-    return PCGOut(x=x, iters=iters, r=r, b_norm2=b_norm2)
+    return PCGOut(x=x_good, iters=iters, r=r, b_norm2=b_norm2)
+
+
+def guarded_block_cholesky(precond_mat: jax.Array, u_d: jax.Array) -> jax.Array:
+    """Per-camera cholesky of the preconditioner blocks with an SPD fallback.
+
+    The Schur-Jacobi preconditioner ``u_d - W V^-1 W^T`` is only SPD when
+    the dropped off-diagonal coupling is small.  At small LM damping a
+    block can go indefinite; its cholesky returns NaN, which poisons PCG
+    from ``z0`` — the residual test is false for NaN, so CG exits after
+    one iteration with a junk step the trust region must reject.  Measured
+    at BAL scale as cg_iters collapsing to 1 and two rejected LM
+    iterations after every accepted one (experiments/tpu_wtt_cgexit.py,
+    lam ~3e-5).  Blocks whose Schur cholesky fails fall back to the
+    cholesky of the damped U block — SPD by construction (PSD
+    Gauss-Newton sum plus positive diagonal damping), i.e. plain
+    block-Jacobi for exactly the unsound cameras, bit-identical factors
+    everywhere else.
+    """
+    chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+    bad = jnp.isnan(chol).any(axis=(-2, -1))
+    fallback = jax.vmap(jnp.linalg.cholesky)(u_d)
+    return jnp.where(bad[:, None, None], fallback, chol)
 
 
 def cho_block_precond(u_chol: jax.Array) -> Callable[[jax.Array], jax.Array]:

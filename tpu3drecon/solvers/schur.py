@@ -29,6 +29,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from tpu3drecon.solvers.pcg import guarded_block_cholesky
+
 
 def _maybe_psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     """psum across the observation-shard mesh axis when running inside
@@ -154,9 +156,10 @@ def build_normal_blocks(
             jax.ops.segment_sum(g_obs, cam_idx, num_segments=n_cameras), axis_name
         )
         precond_mat = u_d - coupling
+        u_chol = guarded_block_cholesky(precond_mat, u_d)
     else:
         precond_mat = u_d
-    u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
+        u_chol = jax.vmap(jnp.linalg.cholesky)(precond_mat)
     return NormalBlocks(
         u=u_d,
         v=v_d,
