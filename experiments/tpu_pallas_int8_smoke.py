@@ -30,8 +30,10 @@ def main() -> None:
     from tpu3drecon.solvers.bundle_adjust import BAConfig
 
     print("backend:", jax.default_backend(), flush=True)
+    # 16 cameras: the Pallas TPU block specs need the camera dim divisible
+    # by 8 (12 cams fails lowering for bf16 and int8 alike).
     scene = make_sequential_scene(
-        n_cameras=12, points_per_camera=40, track_span=3, seed=3
+        n_cameras=16, points_per_camera=40, track_span=3, seed=3
     )
     noisy = perturb_scene(scene, seed=4)
     flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
