@@ -169,20 +169,43 @@ class TestWTTSolve:
         )
         np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
 
-    def test_matvec_kernel_step_equivalent(self, wtt_problem):
-        """The single-pass Pallas PCG matvec (ops/pallas/wtt_matvec.py,
-        interpret mode here) must reproduce the XLA two-pass trajectory."""
+    @pytest.mark.parametrize("kernel", [True, "index"])
+    def test_matvec_kernel_step_equivalent(self, wtt_problem, kernel):
+        """The single-pass Pallas PCG matvecs (ops/pallas/wtt_matvec.py,
+        interpret mode here) must reproduce the XLA two-pass trajectory.
+        'index' rebuilds one-hot tiles from WTTBucket.wcam with exact
+        3-term bf16-split dots (f32-faithful — in interpret mode the
+        split partials are computed in f32 and their sum is within ulps
+        of the unsplit product)."""
         config = BAConfig(
             maxiter=5, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=1e-10,
         )
         _, _, st_x = ba_solve_wtt(wtt_problem, config)
         _, _, st_k = ba_solve_wtt(
-            wtt_problem, config._replace(matvec_kernel=True)
+            wtt_problem, config._replace(matvec_kernel=kernel)
         )
         assert int(st_k.accepted) == int(st_x.accepted)
         np.testing.assert_allclose(
             float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
         )
+
+    def test_matvec_kernel_index1_converges(self, wtt_problem):
+        """The fast single-pass mode ('index1', bf16 operand: ~2e-3
+        operator perturbation) is NOT trajectory-equivalent; it must
+        still reach the same optimum basin."""
+        config = BAConfig(maxiter=12, cg_maxiter=12, cg_rtol=1e-8)
+        _, _, st_x = ba_solve_wtt(wtt_problem, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt_problem, config._replace(matvec_kernel="index1")
+        )
+        assert np.isfinite(float(st_k.loss))
+        assert float(st_k.loss) <= max(10.0 * float(st_x.loss), 1e-6)
+
+    def test_matvec_kernel_mode_validated(self, wtt_problem):
+        with pytest.raises(ValueError, match="matvec_kernel"):
+            ba_solve_wtt(
+                wtt_problem, BAConfig(matvec_kernel="typo")
+            )
 
     def test_converges_to_gt_rmse(self, seq_problem, wtt_problem):
         # The line-trajectory scene is gauge-weak (cameras nearly collinear,
@@ -263,7 +286,11 @@ class TestDeferredOnehot:
             assert b.wcam.dtype == jnp.int16
         expanded = expand_onehots(deferred, onehot_dtype=jnp.float64)
         for bd, be in zip(direct.buckets, expanded.buckets):
-            assert be.wcam is None
+            # wcam is retained after expansion (the index matvec kernel
+            # reads it) and must agree with the direct pack's copy.
+            np.testing.assert_array_equal(
+                np.asarray(be.wcam), np.asarray(bd.wcam)
+            )
             np.testing.assert_array_equal(
                 np.asarray(be.onehot, np.float64),
                 np.asarray(bd.onehot, np.float64),

@@ -111,6 +111,197 @@ def _matvec_kernel(
         out_ref[0] = out_ref[0] + acc
 
 
+def _matvec_kernel_idx(
+    xw_ref,  # (1, np, W) window rows of x for this group
+    wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
+    jc_ref,  # (2*np, 1, Tb, NB)
+    jp_ref,  # (6, 1, Tb, NB)
+    vinv_ref,  # (1, 6, NB)
+    out_ref,  # (1, np, W) coupling rows, accumulated over j
+    *,
+    np_cam: int,
+    tb: int,
+    window: int,
+    terms: int,
+):
+    """Index-encoded variant of ``_matvec_kernel``: the one-hot tile is
+    REBUILT in VMEM from the 4-byte-per-slot window index (iota-compare)
+    instead of streamed from HBM, and the selection dots run as ``terms``
+    DEFAULT-precision bf16 passes of a split f32 operand.
+
+    Why both tricks (measured, experiments/tpu_index_matvec{,2,3}.py at
+    BAL scale): the dense-one-hot DMA is 2 GB/matvec, but deleting it
+    alone ties XLA (8.0 vs 7.6 ms) because Mosaic's HIGHEST-precision
+    dots cost 6 MXU passes (~1.3 ms each here).  The one-hot is exactly
+    representable in bf16 ({0,1}), so splitting ONLY the f32 operand into
+    ``terms`` bf16 pieces (8 mantissa bits each) and accumulating the
+    DEFAULT-precision partials in f32 is f32-faithful at terms=3: each
+    partial product bf16_term x {0,1} is exact.  Measured: terms=3
+    3.93 ms/matvec with max-rel-diff vs the XLA path 2.3e-7 — IDENTICAL
+    to the HIGHEST kernel's accumulation-order noise; terms=1 (plain
+    bf16 operand) 1.68 ms at 2.3e-3.  The XLA-level version of this
+    split is impossible (the bf16 propagation pass demotes the remainder
+    chain — experiments/tpu_selection_dot2.py); inside Mosaic the split
+    compiles as written.
+
+    Padding slots carry index -1, which matches no iota row: exact-zero
+    one-hot columns, the same invariant as problems.wtt._expand_wcam.
+    """
+    j = pl.program_id(1)
+    acc_t = xw_ref.dtype
+    xw = xw_ref[0]  # (np, W)
+    nb = wcam_ref.shape[2]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
+
+    def split_dot(x, oh_bf, transpose_oh):
+        """dot(x f32, one-hot bf16) as ``terms`` single-pass partials.
+
+        f64 inputs (the CPU test mesh under interpret mode; real TPUs
+        do not run f64) take one exact full-precision dot instead — a
+        bf16 split covers only 24 mantissa bits and would silently
+        truncate f64 trajectories to f32 fidelity."""
+        dims = ((((1,), (1,)) if transpose_oh else ((1,), (0,))), ((), ()))
+        if acc_t == jnp.float64:
+            return jax.lax.dot_general(
+                x, oh_bf.astype(acc_t),
+                dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        acc = None
+        rem = x
+        for _ in range(terms):
+            h = rem.astype(jnp.bfloat16)
+            rem = rem - h.astype(acc_t)
+            part = jax.lax.dot_general(
+                h, oh_bf,
+                dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    # Phase 1: (W^T x) accumulated over track rows.
+    wtx = [None, None, None]
+    oh_tiles = []
+    jc0_tiles = []
+    jc1_tiles = []
+    jp_tiles = []
+    for t in range(tb):
+        idx = wcam_ref[0, t, :]  # (NB,) int32
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
+        oh_tiles.append(oh)
+        xg = split_dot(xw, oh, transpose_oh=False)  # (np, NB)
+        jc0 = jc_ref[:np_cam, 0, t, :]
+        jc1 = jc_ref[np_cam:, 0, t, :]
+        jc0_tiles.append(jc0)
+        jc1_tiles.append(jc1)
+        s0 = jnp.sum(jc0 * xg, axis=0)  # (NB,)
+        s1 = jnp.sum(jc1 * xg, axis=0)
+        jp_t = jp_ref[:, 0, t, :]  # (6, NB)
+        jp_tiles.append(jp_t)
+        for l in range(3):
+            part = jp_t[l] * s0 + jp_t[3 + l] * s1
+            wtx[l] = part if wtx[l] is None else wtx[l] + part
+
+    # y = v_inv (sym3 plane form) @ wtx.
+    v = vinv_ref[0]  # (6, NB)
+    y0 = v[0] * wtx[0] + v[1] * wtx[1] + v[2] * wtx[2]
+    y1 = v[1] * wtx[0] + v[3] * wtx[1] + v[4] * wtx[2]
+    y2 = v[2] * wtx[0] + v[4] * wtx[1] + v[5] * wtx[2]
+
+    # Phase 2: (W y) rows from the SAME VMEM one-hot tiles.
+    acc = None
+    for t in range(tb):
+        jp_t = jp_tiles[t]
+        s0p = jp_t[0] * y0 + jp_t[1] * y1 + jp_t[2] * y2
+        s1p = jp_t[3] * y0 + jp_t[4] * y1 + jp_t[5] * y2
+        z = jc0_tiles[t] * s0p[None] + jc1_tiles[t] * s1p[None]  # (np, NB)
+        part = split_dot(z, oh_tiles[t], transpose_oh=True)  # (np, W)
+        acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("np_cam", "tb", "pc", "window", "terms", "interpret"),
+)
+def wtt_coupling_rows_idx(
+    xw_t: jax.Array,  # (G, np, W) transposed window rows of x_pad
+    wcam: jax.Array,  # (G, Tb*Pc) integer window index per slot (-1 = pad)
+    jc: jax.Array,  # (2np, G, Tb, Pc)
+    jp: jax.Array,  # (6, G, Tb, Pc)
+    v_inv: jax.Array,  # (6, G, Pc)
+    np_cam: int,
+    tb: int,
+    pc: int,
+    window: int,
+    terms: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """Coupling rows (G, np, W) from the INDEX-encoded one-hot (wcam).
+
+    ``terms``: bf16 split passes per dot — 3 is f32-faithful (default),
+    1 is the fast single-pass mode (~2.3e-3 operator perturbation; CG is
+    run inexact anyway but trajectories will differ from the XLA path).
+    """
+    g = wcam.shape[0]
+    w = window
+    dtype = xw_t.dtype
+    # Largest 128-multiple block <= 896 dividing Pc (measured best at BAL;
+    # VMEM stack OOMs at 1792 — experiments/tpu_index_matvec2.py).
+    nb = next(
+        (k for k in range(min(896, pc), 127, -128)
+         if pc % k == 0 and k % 128 == 0),
+        pc,
+    )
+    if not interpret and pc % 128 != 0:
+        raise ValueError(
+            f"wtt matvec kernel needs point-chunk padding divisible by "
+            f"128 on TPU (got Pc={pc}); repack with point_chunk>=128"
+        )
+    jb = pc // nb
+
+    kernel = functools.partial(
+        _matvec_kernel_idx, np_cam=np_cam, tb=tb, window=w, terms=terms
+    )
+    rows = pl.pallas_call(
+        kernel,
+        grid=(g, jb),
+        in_specs=[
+            pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * np_cam, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, np_cam, w), dtype),
+        interpret=interpret,
+    )(
+        xw_t,
+        wcam.reshape(g, tb, pc).astype(jnp.int32),
+        jc,
+        jp,
+        jnp.transpose(v_inv, (1, 0, 2)),  # (G, 6, Pc)
+    )
+    return rows
+
+
 @functools.partial(
     jax.jit, static_argnames=("np_cam", "tb", "pc", "window", "interpret")
 )

@@ -74,7 +74,9 @@ def _bucket_spec(b: WTTBucket, axis_name: str) -> WTTBucket:
     # structures.
     chunk = P(axis_name)
     return WTTBucket(
-        uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk, window=b.window,
+        uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk,
+        wcam=None if b.wcam is None else chunk,
+        window=b.window,
         global_tiles=b.global_tiles, global_tile0=b.global_tile0,
     )
 
@@ -100,6 +102,7 @@ def shard_wtt_problem(
             mask=put(b.mask, chunk0),
             onehot=put(b.onehot, chunk0),
             cam_base=put(b.cam_base, chunk0),
+            wcam=None if b.wcam is None else put(b.wcam, chunk0),
             window=b.window,
             global_tiles=b.global_tiles,
             global_tile0=b.global_tile0,
@@ -132,7 +135,7 @@ def ba_solve_wtt_sharded(
     solver = make_sharded_wtt_solver(
         mesh, config, axis_name,
         tuple(
-            (b.window, b.global_tiles, b.global_tile0)
+            (b.window, b.global_tiles, b.global_tile0, b.wcam is not None)
             for b in problem.buckets
         ),
         problem.c_pad,
@@ -159,8 +162,10 @@ def make_sharded_wtt_solver(
 ):
     """Jitted shard_map wtt solver for a mesh + config (cached).
 
-    ``windows`` carries each bucket's static layout: either plain window
-    ints or ``(window, global_tiles, global_tile0)`` triples (hub split).
+    ``windows`` carries each bucket's static layout: plain window ints,
+    ``(window, global_tiles, global_tile0)`` triples (hub split), or
+    quadruples additionally carrying whether the bucket ships the compact
+    ``wcam`` index (its spec must mirror the data pytree's structure).
     """
     from tpu3drecon.solvers.bundle_adjust import (
         DynamicBAParams,
@@ -168,8 +173,12 @@ def make_sharded_wtt_solver(
         split_dynamic_config,
     )
 
+    defaults = (0, 0, False)  # global_tiles, global_tile0, has_wcam
     statics = tuple(
-        w if isinstance(w, tuple) else (w, 0, 0) for w in windows
+        (lambda t: t + defaults[len(t) - 1:])(
+            w if isinstance(w, tuple) else (w,)
+        )
+        for w in windows
     )
     static, dyn = split_dynamic_config(config)
     key = (mesh_key(mesh), static, axis_name, statics, c_pad)
@@ -185,9 +194,10 @@ def make_sharded_wtt_solver(
         tuple(
             WTTBucket(
                 uv=chunk, mask=chunk, onehot=chunk, cam_base=chunk,
+                wcam=chunk if has_wcam else None,
                 window=w, global_tiles=gt, global_tile0=g0,
             )
-            for (w, gt, g0) in statics
+            for (w, gt, g0, has_wcam) in statics
         ),
         tuple(pts_spec for _ in statics),
         cam_spec,

@@ -150,7 +150,9 @@ def expand_onehots(problem: BAWTTProblem, onehot_dtype=None) -> BAWTTProblem:
             buckets.append(b)
             continue
         oh = _expand_wcam(b.wcam, b.window, jnp.dtype(dt))
-        buckets.append(dataclasses.replace(b, onehot=oh, wcam=None))
+        # wcam stays: the index matvec kernel reads it (7.6 MB at BAL scale
+        # next to the 0.98 GB one-hot).
+        buckets.append(dataclasses.replace(b, onehot=oh))
     return dataclasses.replace(problem, buckets=tuple(buckets))
 
 
@@ -465,15 +467,18 @@ def wtt_from_flat(
                 )
                 sel[bi, col0 : col0 + Pc] = g_off + np.arange(gi * Pc, (gi + 1) * Pc)
         total_rows = window + n_gt * CAM_TILE
+        # wcam is retained even when the dense one-hot is materialized: the
+        # index-encoded matvec kernel (ops/pallas/wtt_matvec.py,
+        # matvec_kernel="index") consumes it, and at 2 bytes/slot it is
+        # 1/window of the one-hot bytes.
+        wcam = jnp.asarray(wcam_b)
         if defer_onehot:
             onehot = None
-            wcam = jnp.asarray(wcam_b)
         else:
             onehot_b = np.zeros((B, total_rows, n), np_dtype)
             rows, cols = np.nonzero(wcam_b >= 0)
             onehot_b[rows, wcam_b[rows, cols], cols] = 1.0
             onehot = jnp.asarray(onehot_b, oh_dtype)
-            wcam = None
         buckets.append(
             WTTBucket(
                 uv=jnp.asarray(uv_b),

@@ -283,17 +283,32 @@ def _schur_matvec(nb: WTTNormal, x_pad, problem: BAWTTProblem, axis_name=None,
     for bn, bucket in zip(nb.buckets, problem.buckets):
         if use_kernel:
             # Single-pass Pallas kernel: one-hot + jc/jp streamed ONCE per
-            # matvec instead of twice (ops/pallas/wtt_matvec.py).
-            from tpu3drecon.ops.pallas.wtt_matvec import wtt_coupling_rows_fused
+            # matvec instead of twice (ops/pallas/wtt_matvec.py).  Mode
+            # "index"/"index1" rebuilds one-hot tiles in VMEM from
+            # bucket.wcam and runs split-bf16 dots — measured
+            # 7.6 -> 3.9 ms/matvec at BAL scale at identical-to-f32
+            # numerics for "index" (experiments/tpu_index_matvec3.py).
+            from tpu3drecon.ops.pallas.wtt_matvec import (
+                wtt_coupling_rows_fused,
+                wtt_coupling_rows_idx,
+            )
 
             np_cam = bn.jc.shape[0] // 2
             g, _, tb, pc = bucket.uv.shape
             widx = _window_idx(bucket)
             xw_t = jnp.transpose(_window_rows(x_pad, widx), (0, 2, 1))
-            rows = wtt_coupling_rows_fused(
-                xw_t, bucket.onehot, bn.jc, bn.jp, bn.v_inv,
-                np_cam, tb, pc, int(bucket.window), interpret=interpret,
-            )
+            if use_kernel in ("index", "index1"):
+                rows = wtt_coupling_rows_idx(
+                    xw_t, bucket.wcam, bn.jc, bn.jp, bn.v_inv,
+                    np_cam, tb, pc, int(bucket.window),
+                    terms=1 if use_kernel == "index1" else 3,
+                    interpret=interpret,
+                )
+            else:
+                rows = wtt_coupling_rows_fused(
+                    xw_t, bucket.onehot, bn.jc, bn.jp, bn.v_inv,
+                    np_cam, tb, pc, int(bucket.window), interpret=interpret,
+                )
             coup = coup + _scatter_rows(
                 jnp.transpose(rows, (0, 2, 1)), widx, problem.c_pad
             )
@@ -546,6 +561,19 @@ def ba_solve_wtt(
     if config.matvec_kernel and config.matvec_bf16:
         raise ValueError(
             "matvec_bf16 applies to the XLA matvec path; disable matvec_kernel"
+        )
+    if config.matvec_kernel not in (False, True, "fused", "index", "index1"):
+        raise ValueError(
+            f"matvec_kernel must be False, True/'fused', 'index' or "
+            f"'index1'; got {config.matvec_kernel!r}"
+        )
+    if config.matvec_kernel in ("index", "index1") and any(
+        b.wcam is None for b in problem.buckets
+    ):
+        raise ValueError(
+            "matvec_kernel='index' needs the compact window indices "
+            "(WTTBucket.wcam); repack with a current wtt_from_flat "
+            "(wcam is now retained alongside the dense one-hot)"
         )
     with jax.default_matmul_precision("highest"):
         pts_list = []

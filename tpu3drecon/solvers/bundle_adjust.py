@@ -83,12 +83,21 @@ class BAConfig(NamedTuple):
     #                   large (>=~1000 cams) sequential scenes.
     precond: str = "schur_jacobi"
     # wtt engine only: compute the PCG coupling matvec W V^-1 W^T x with
-    # the single-pass Pallas kernel (ops/pallas/wtt_matvec.py) — the
-    # one-hot and jc/jp tensors stream from HBM once per CG iteration
-    # instead of twice (the dominant cost at BAL scale).  Off by default
-    # pending interleaved TPU A/B; step-equivalent either way
-    # (tests/test_ba_wtt.py).
-    matvec_kernel: bool = False
+    # a single-pass Pallas kernel (ops/pallas/wtt_matvec.py):
+    #   True/"fused": dense one-hot streamed once per matvec instead of
+    #       twice — measured SLOWER than XLA (11.1 vs 7.6 ms/matvec at
+    #       BAL: Mosaic's HIGHEST dots cost 6 MXU passes).
+    #   "index":  one-hot tiles REBUILT in VMEM from WTTBucket.wcam
+    #       (iota-compare) + exact 3-term bf16-split dots — deletes the
+    #       2 GB/matvec one-hot stream AND 3 of the 6 passes.  Measured
+    #       3.93 vs 7.57 ms/matvec at BAL scale with max-rel-diff vs the
+    #       XLA path 2.3e-7 (= f32 accumulation-order noise); step-
+    #       equivalent (tests/test_ba_wtt.py).
+    #   "index1": single-pass bf16 variant (1.68 ms/matvec, ~2e-3
+    #       operator perturbation — NOT trajectory-equivalent).
+    # Off by default pending the full-solve A/B (experiments/
+    # tpu_index_matvec{,2,3}.py).
+    matvec_kernel: object = False
     # Track-table engines: store the per-slot jc/jp Jacobian planes used by
     # the CG matvec / rhs / back-substitution in bfloat16 (the U/V/coupling
     # reductions inside the linearization stay f32).  The CG matvec streams
