@@ -330,9 +330,13 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
         float(jax.device_get(b.mask.sum())) for b in problem.buckets
     ))
     # The round-3 measurement config: fixed LM iterations, fixed 8-CG work.
+    # On TPU the coupling matvec runs the f32-faithful index kernel
+    # (measured 0.159 -> 0.129 s/LM-iter at this config, RESULTS.md round
+    # 4b); off-TPU the Pallas kernel would run in slow interpret mode.
     config = BAConfig(
         maxiter=lm_iters, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=0.0,
         precond="schur_jacobi",
+        matvec_kernel="index" if jax.default_backend() == "tpu" else False,
     )
     solver = make_wtt_ba_solver(config, aot=True)
     compile_s, times, (cams, pts, state) = _timed(lambda: solver(problem), reps)

@@ -42,6 +42,16 @@ def _add_common(p):
         "otherwise",
     )
     p.add_argument(
+        "--matvec", choices=("auto", "xla", "fused", "index", "index1"),
+        default="auto",
+        help="PCG coupling matvec implementation (wtt engine).  auto "
+        "follows the measured TPU A/B (RESULTS.md round 4b): the "
+        "index-encoded Pallas kernel ('index', f32-faithful split dots, "
+        "BAL 0.159 -> 0.129 s/LM-iter) on TPU, the XLA two-pass path "
+        "elsewhere; 'index1' is the fast single-pass bf16 mode "
+        "(0.112 s/LM-iter, ~2e-3 operator perturbation)",
+    )
+    p.add_argument(
         "--checkpoint-dir", default=None,
         help="run the solve as resumable chunks with orbax checkpoints in "
         "this directory; a killed run re-invoked with the same directory "
@@ -96,6 +106,25 @@ def _config(args, n_cameras: int = 0):
             precond = "ssor"
         else:
             precond = "schur_jacobi"
+    import jax
+
+    matvec = getattr(args, "matvec", "auto")
+    if matvec != "auto" and matvec != "xla" and args.engine != "wtt":
+        print(
+            f"[tpu3drecon] --matvec {matvec} applies to --engine wtt only",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    if matvec == "auto":
+        # Measured TPU A/B (RESULTS.md round 4b): the index kernel is
+        # f32-faithful and 19% faster at BAL scale; off-TPU it would run
+        # in slow Pallas interpret mode, so keep the XLA path there.
+        matvec = (
+            "index"
+            if args.engine == "wtt" and jax.default_backend() == "tpu"
+            else "xla"
+        )
+    matvec_kernel = False if matvec == "xla" else matvec
     return BAConfig(
         maxiter=args.maxiter,
         cg_maxiter=args.cg_maxiter,
@@ -104,6 +133,7 @@ def _config(args, n_cameras: int = 0):
         optimize_focal=not args.no_focal,
         loss=RobustLoss.CAUCHY if args.loss == "cauchy" else RobustLoss.TRIVIAL,
         precond=precond,
+        matvec_kernel=matvec_kernel,
     )
 
 
@@ -143,6 +173,13 @@ def _solve(problem, args, jax):
                     "with schur_jacobi (ssor/tridiag are tt/wtt-only)"
                 )
                 config = config._replace(precond="schur_jacobi")
+            if config.matvec_kernel:
+                # The coupling matvec kernels are wtt-only.
+                precond_note += (
+                    f"; matvec kernel {config.matvec_kernel!r} replaced "
+                    "with the XLA matvec (kernels are wtt-only)"
+                )
+                config = config._replace(matvec_kernel=False)
             print(
                 f"[tpu3drecon] wtt layout infeasible ({e}); "
                 f"falling back to the {fallback} engine{precond_note}",

@@ -182,25 +182,21 @@ def _matvec_kernel_idx(
             acc = part if acc is None else acc + part
         return acc
 
-    # Phase 1: (W^T x) accumulated over track rows.
-    wtx = [None, None, None]
-    oh_tiles = []
-    jc0_tiles = []
-    jc1_tiles = []
-    jp_tiles = []
-    for t in range(tb):
+    def oh_t(t):
         idx = wcam_ref[0, t, :]  # (NB,) int32
-        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
-        oh_tiles.append(oh)
-        xg = split_dot(xw, oh, transpose_oh=False)  # (np, NB)
-        jc0 = jc_ref[:np_cam, 0, t, :]
-        jc1 = jc_ref[np_cam:, 0, t, :]
-        jc0_tiles.append(jc0)
-        jc1_tiles.append(jc1)
-        s0 = jnp.sum(jc0 * xg, axis=0)  # (NB,)
-        s1 = jnp.sum(jc1 * xg, axis=0)
+        return (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
+
+    # Phase 1: (W^T x) accumulated over track rows.  One-hot tiles and
+    # jc/jp loads are NOT kept across track rows or phases: rebuilding
+    # them is free (interleaved A/B, experiments/tpu_index_matvec2.py
+    # keep=True vs False identical) while keeping tb tiles live blows the
+    # 16 MB VMEM stack at hub windows (tb=12, window=1664 = 20.9 MB).
+    wtx = [None, None, None]
+    for t in range(tb):
+        xg = split_dot(xw, oh_t(t), transpose_oh=False)  # (np, NB)
+        s0 = jnp.sum(jc_ref[:np_cam, 0, t, :] * xg, axis=0)  # (NB,)
+        s1 = jnp.sum(jc_ref[np_cam:, 0, t, :] * xg, axis=0)
         jp_t = jp_ref[:, 0, t, :]  # (6, NB)
-        jp_tiles.append(jp_t)
         for l in range(3):
             part = jp_t[l] * s0 + jp_t[3 + l] * s1
             wtx[l] = part if wtx[l] is None else wtx[l] + part
@@ -211,14 +207,15 @@ def _matvec_kernel_idx(
     y1 = v[1] * wtx[0] + v[3] * wtx[1] + v[4] * wtx[2]
     y2 = v[2] * wtx[0] + v[4] * wtx[1] + v[5] * wtx[2]
 
-    # Phase 2: (W y) rows from the SAME VMEM one-hot tiles.
+    # Phase 2: (W y) rows, rebuilding each one-hot tile.
     acc = None
     for t in range(tb):
-        jp_t = jp_tiles[t]
+        jp_t = jp_ref[:, 0, t, :]
         s0p = jp_t[0] * y0 + jp_t[1] * y1 + jp_t[2] * y2
         s1p = jp_t[3] * y0 + jp_t[4] * y1 + jp_t[5] * y2
-        z = jc0_tiles[t] * s0p[None] + jc1_tiles[t] * s1p[None]  # (np, NB)
-        part = split_dot(z, oh_tiles[t], transpose_oh=True)  # (np, W)
+        z = (jc_ref[:np_cam, 0, t, :] * s0p[None]
+             + jc_ref[np_cam:, 0, t, :] * s1p[None])  # (np, NB)
+        part = split_dot(z, oh_t(t), transpose_oh=True)  # (np, W)
         acc = part if acc is None else acc + part
 
     @pl.when(j == 0)
@@ -256,10 +253,26 @@ def wtt_coupling_rows_idx(
     g = wcam.shape[0]
     w = window
     dtype = xw_t.dtype
-    # Largest 128-multiple block <= 896 dividing Pc (measured best at BAL;
-    # VMEM stack OOMs at 1792 — experiments/tpu_index_matvec2.py).
+    # Largest 128-multiple block dividing Pc, capped at the measured-best
+    # 896 (experiments/tpu_index_matvec2.py; 1792 blew the VMEM stack) AND
+    # at a VMEM budget model: per-nb live bytes = double-buffered input
+    # blocks (wcam/jc/jp/v_inv) + one rebuilt bf16 one-hot tile (x2
+    # in-flight safety) + the xg/z/split temporaries; ~10 MB of the 16 MB
+    # stack keeps wide hub windows (window 1664, tb 12) compiling.
+    itemsize = jnp.dtype(dtype).itemsize
+    per_nb = (
+        2 * (4 * tb + 2 * itemsize * np_cam * tb + 6 * itemsize * tb
+             + 6 * itemsize)
+        # Mosaic's stack allocator retains every unrolled track row's bf16
+        # one-hot tile (measured: the hub bucket window=1664/tb=12 asks
+        # for exactly tb tiles regardless of value liveness), so budget
+        # all tb of them, twice (both phases' unrolled chains).
+        + 2 * 2 * w * tb
+        + 8 * itemsize * np_cam
+    )
+    nb_budget = max(128, int(10_000_000 // max(per_nb, 1)) // 128 * 128)
     nb = next(
-        (k for k in range(min(896, pc), 127, -128)
+        (k for k in range(min(896, nb_budget, pc), 127, -128)
          if pc % k == 0 and k % 128 == 0),
         pc,
     )
