@@ -88,6 +88,7 @@ _SLOW_NODE_PATTERNS = (
     "test_bundle_adjust.py::TestScaling::test_beyond_reference_ceiling",
     "test_reorder.py::TestWTTReorder::test_solve_matches_tt_on_shuffled",
     "test_reorder.py::TestHubSplit::test_solve_matches_tt",
+    "test_reorder.py::TestHubSplit::test_linearize_kernel_matches_on_hub",
     "test_reorder.py::TestHubSplit::test_auto_packs_hub_split_under_budget",
     "test_ba_pallas.py::test_bucketed_tracks_match_plain",
     "test_ba_pallas.py::test_pallas_solve_converges",

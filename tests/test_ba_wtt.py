@@ -207,6 +207,54 @@ class TestWTTSolve:
                 wtt_problem, BAConfig(matvec_kernel="typo")
             )
 
+    @pytest.mark.parametrize("precond", ["schur_jacobi", "jacobi_u"])
+    def test_linearize_kernel_step_equivalent(self, wtt_problem, precond):
+        """The fused Pallas contribution kernel (ops/pallas/
+        wtt_linearize.py, interpret mode here) must reproduce the
+        batched-XLA linearization trajectory for both the Schur-Jacobi
+        (u + g + coupling rows) and jacobi_u (u + g only) column sets."""
+        config = BAConfig(
+            maxiter=5, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=1e-10,
+            precond=precond,
+        )
+        _, _, st_x = ba_solve_wtt(wtt_problem, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt_problem, config._replace(linearize_kernel="index")
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
+
+    def test_linearize_kernel_production_config(self, wtt_problem):
+        """linearize_kernel='index' + matvec_kernel='index' +
+        optimize_dist — the full TPU production configuration — must
+        match the all-XLA trajectory (wider 11-param camera blocks)."""
+        config = BAConfig(
+            maxiter=4, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=1e-10,
+            optimize_dist=True,
+        )
+        _, _, st_x = ba_solve_wtt(wtt_problem, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt_problem,
+            config._replace(matvec_kernel="index", linearize_kernel="index"),
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
+
+    def test_linearize_kernel_mode_validated(self, wtt_problem):
+        with pytest.raises(ValueError, match="linearize_kernel"):
+            ba_solve_wtt(wtt_problem, BAConfig(linearize_kernel="typo"))
+
+    def test_linearize_kernel_band_precond_rejected(self, wtt_problem):
+        with pytest.raises(ValueError, match="band"):
+            ba_solve_wtt(
+                wtt_problem,
+                BAConfig(precond="ssor", linearize_kernel="index"),
+            )
+
     def test_converges_to_gt_rmse(self, seq_problem, wtt_problem):
         # The line-trajectory scene is gauge-weak (cameras nearly collinear,
         # tracks of <=3), so LM converges linearly here: loss reaches ~1e-10

@@ -108,6 +108,42 @@ def test_precond_auto_selection():
     assert _config(mk("tt", "tridiag"), n_cameras=10).precond == "tridiag"
 
 
+def test_kernel_flag_validation(capsys):
+    """--matvec/--linearize kernel flags are wtt-only, and the fused
+    linearize kernel refuses band preconditioners (it cannot produce
+    their adjacent-pair rows) — all as clean exit-2 usage errors."""
+    import argparse
+
+    from tpu3drecon.cli import _config
+
+    def mk(engine, precond="auto", matvec="auto", linearize="auto"):
+        return argparse.Namespace(
+            engine=engine, precond=precond, matvec=matvec,
+            linearize=linearize, maxiter=5, cg_maxiter=8,
+            no_focal=False, loss="trivial",
+        )
+
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("tt", matvec="index"), n_cameras=100)
+    assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("tt", linearize="index"), n_cameras=100)
+    assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("wtt", precond="ssor", linearize="index"), n_cameras=2000)
+    assert exc.value.code == 2
+    assert "band preconditioner" in capsys.readouterr().err
+    # auto on CPU keeps the XLA paths (kernels would run in interpret mode).
+    cfg = _config(mk("wtt"), n_cameras=100)
+    assert cfg.matvec_kernel is False and cfg.linearize_kernel is False
+    # explicit index on wtt + schur_jacobi is accepted on any backend.
+    cfg = _config(
+        mk("wtt", precond="schur_jacobi", matvec="index", linearize="index"),
+        n_cameras=100,
+    )
+    assert cfg.matvec_kernel == "index" and cfg.linearize_kernel == "index"
+
+
 def test_solve_bal_wtt_infeasible_falls_back_to_grid(
     bal_file, tmp_path, monkeypatch, capsys
 ):

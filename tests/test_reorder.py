@@ -231,6 +231,25 @@ class TestHubSplit:
         )
         np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
 
+    def test_linearize_kernel_matches_on_hub(self, hub_flat):
+        """The fused contribution kernel must be layout-agnostic: on a
+        hub/global split the one-hot rows are [local window | global
+        region] and wcam indexes that same row layout, so the in-VMEM
+        iota-compare rebuild covers hub couplings for free."""
+        config = BAConfig(
+            maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-10
+        )
+        wtt = wtt_from_flat(hub_flat, point_chunk=64, reorder_cameras="hub")
+        assert any(b.global_tiles > 0 for b in wtt.buckets)
+        _, _, st_x = ba_solve_wtt(wtt, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt, config._replace(linearize_kernel="index")
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
+
     def test_band_precond_rejected_with_hub_tiles(self, hub_flat):
         wtt = wtt_from_flat(hub_flat, point_chunk=128, reorder_cameras="hub")
         config = BAConfig(maxiter=2, cg_maxiter=4, precond="ssor")

@@ -330,13 +330,16 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
         float(jax.device_get(b.mask.sum())) for b in problem.buckets
     ))
     # The round-3 measurement config: fixed LM iterations, fixed 8-CG work.
-    # On TPU the coupling matvec runs the f32-faithful index kernel
-    # (measured 0.159 -> 0.129 s/LM-iter at this config, RESULTS.md round
-    # 4b); off-TPU the Pallas kernel would run in slow interpret mode.
+    # On TPU the coupling matvec and the linearization contribution block
+    # run the f32-faithful index kernels (measured 0.159 -> 0.129 -> 0.102
+    # s/LM-iter at this config, RESULTS.md round 4b); off-TPU the Pallas
+    # kernels would run in slow interpret mode.
+    on_tpu = jax.default_backend() == "tpu"
     config = BAConfig(
         maxiter=lm_iters, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=0.0,
         precond="schur_jacobi",
-        matvec_kernel="index" if jax.default_backend() == "tpu" else False,
+        matvec_kernel="index" if on_tpu else False,
+        linearize_kernel="index" if on_tpu else False,
     )
     solver = make_wtt_ba_solver(config, aot=True)
     compile_s, times, (cams, pts, state) = _timed(lambda: solver(problem), reps)

@@ -52,6 +52,16 @@ def _add_common(p):
         "(0.112 s/LM-iter, ~2e-3 operator perturbation)",
     )
     p.add_argument(
+        "--linearize", choices=("auto", "xla", "index"), default="auto",
+        help="linearization contribution-reduction implementation (wtt "
+        "engine).  auto follows the measured TPU A/B (RESULTS.md round "
+        "4b): the fused Pallas contribution kernel ('index', f32-faithful "
+        "split dots, BAL linearize 42 -> 18 ms, solve 0.123 -> 0.102 "
+        "s/LM-iter with --matvec index) on TPU when the preconditioner "
+        "is not a band type (ssor/tridiag need the XLA path's "
+        "adjacent-pair rows), the batched-XLA path elsewhere",
+    )
+    p.add_argument(
         "--checkpoint-dir", default=None,
         help="run the solve as resumable chunks with orbax checkpoints in "
         "this directory; a killed run re-invoked with the same directory "
@@ -125,6 +135,35 @@ def _config(args, n_cameras: int = 0):
             else "xla"
         )
     matvec_kernel = False if matvec == "xla" else matvec
+    linearize = getattr(args, "linearize", "auto")
+    if linearize not in ("auto", "xla") and args.engine != "wtt":
+        print(
+            f"[tpu3drecon] --linearize {linearize} applies to --engine "
+            "wtt only",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    if linearize == "index" and precond in ("ssor", "tridiag"):
+        print(
+            f"[tpu3drecon] --linearize index is incompatible with the "
+            f"band preconditioner {precond!r} (the fused kernel does not "
+            "produce the adjacent-pair band rows); use --precond "
+            "schur_jacobi/jacobi_u or --linearize xla",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    if linearize == "auto":
+        # Measured TPU A/B (RESULTS.md round 4b): the fused contribution
+        # kernel is f32-faithful and cuts the BAL linearize 42 -> 18 ms;
+        # band preconds need the XLA path's pair rows, and off-TPU the
+        # kernel would run in slow Pallas interpret mode.
+        linearize = (
+            "index"
+            if args.engine == "wtt"
+            and jax.default_backend() == "tpu"
+            and precond not in ("ssor", "tridiag")
+            else "xla"
+        )
     return BAConfig(
         maxiter=args.maxiter,
         cg_maxiter=args.cg_maxiter,
@@ -134,6 +173,7 @@ def _config(args, n_cameras: int = 0):
         loss=RobustLoss.CAUCHY if args.loss == "cauchy" else RobustLoss.TRIVIAL,
         precond=precond,
         matvec_kernel=matvec_kernel,
+        linearize_kernel=False if linearize == "xla" else linearize,
     )
 
 
@@ -180,6 +220,14 @@ def _solve(problem, args, jax):
                     "with the XLA matvec (kernels are wtt-only)"
                 )
                 config = config._replace(matvec_kernel=False)
+            if config.linearize_kernel:
+                # The fused contribution kernel is wtt-only.
+                precond_note += (
+                    f"; linearize kernel {config.linearize_kernel!r} "
+                    "replaced with the batched-XLA linearization "
+                    "(kernels are wtt-only)"
+                )
+                config = config._replace(linearize_kernel=False)
             print(
                 f"[tpu3drecon] wtt layout infeasible ({e}); "
                 f"falling back to the {fallback} engine{precond_note}",

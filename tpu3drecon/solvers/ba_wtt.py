@@ -393,6 +393,36 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         want_od = config.precond in ("tridiag", "ssor")
         g_b, _, tb_b, pc_b = bucket.uv.shape
         n_b = tb_b * pc_b
+        if config.linearize_kernel == "index" and not want_od:
+            # Fused Pallas contribution+reduction (index one-hot, exact
+            # split dots): no plane transients, no chunking needed — the
+            # XLA path below materializes ~8-9 GB of contribution planes
+            # per LM iteration (ops/pallas/wtt_linearize.py).
+            from tpu3drecon.ops.pallas.wtt_linearize import (
+                wtt_contrib_rows_idx,
+            )
+
+            widx = _window_idx(bucket)
+            rows = wtt_contrib_rows_idx(
+                bucket.wcam, jc, jp, r, v_inv, np_cam, tb_b, pc_b,
+                int(bucket.window), use_sj,
+                interpret=jax.default_backend() != "tpu",
+            )
+            reduced = _scatter_rows(rows, widx, c_pad)
+            u_cols = u_cols + reduced[:, :n_triu]
+            g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
+            if use_sj:
+                coup_cols = coup_cols + reduced[
+                    :, n_triu + np_cam : 2 * n_triu + np_cam
+                ]
+            if config.matvec_bf16:
+                jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
+            bucket_normals.append(
+                WTTBucketNormal(
+                    jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt
+                )
+            )
+            continue
         gc = _contrib_g_chunk(bucket, np_cam, use_sj, want_od, problem)
         row_parts = []
         erow_parts = []
@@ -567,11 +597,25 @@ def ba_solve_wtt(
             f"matvec_kernel must be False, True/'fused', 'index' or "
             f"'index1'; got {config.matvec_kernel!r}"
         )
-    if config.matvec_kernel in ("index", "index1") and any(
-        b.wcam is None for b in problem.buckets
+    if config.linearize_kernel not in (False, "index"):
+        raise ValueError(
+            f"linearize_kernel must be False or 'index'; got "
+            f"{config.linearize_kernel!r}"
+        )
+    if config.linearize_kernel == "index" and config.precond in (
+        "ssor", "tridiag"
     ):
         raise ValueError(
-            "matvec_kernel='index' needs the compact window indices "
+            "linearize_kernel='index' does not produce the band "
+            "preconditioners' adjacent-pair rows; use precond="
+            "'schur_jacobi'/'jacobi_u' or linearize_kernel=False"
+        )
+    needs_wcam = config.matvec_kernel in ("index", "index1") or (
+        config.linearize_kernel == "index"
+    )
+    if needs_wcam and any(b.wcam is None for b in problem.buckets):
+        raise ValueError(
+            "the index kernels need the compact window indices "
             "(WTTBucket.wcam); repack with a current wtt_from_flat "
             "(wcam is now retained alongside the dense one-hot)"
         )

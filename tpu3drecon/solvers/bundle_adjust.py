@@ -98,6 +98,16 @@ class BAConfig(NamedTuple):
     # Off by default pending the full-solve A/B (experiments/
     # tpu_index_matvec{,2,3}.py).
     matvec_kernel: object = False
+    # wtt engine only: compute the linearization's contribution planes
+    # (damped-U pairs, gradient columns, Schur-Jacobi coupling) and their
+    # one-hot reduction in one fused Pallas pass
+    # (ops/pallas/wtt_linearize.py, "index") instead of materializing
+    # ~8-9 GB of plane tensors through XLA — the dominant share of the
+    # BAL-scale linearize (33.2 of 41.5 ms, experiments/tpu_lin_phases2.py).
+    # Exact (3-term bf16-split dots, f32-faithful); requires
+    # WTTBucket.wcam; band preconditioners (ssor/tridiag) keep the XLA
+    # path (their adjacent-pair off-diagonal rows are not in the kernel).
+    linearize_kernel: object = False
     # Track-table engines: store the per-slot jc/jp Jacobian planes used by
     # the CG matvec / rhs / back-substitution in bfloat16 (the U/V/coupling
     # reductions inside the linearization stay f32).  The CG matvec streams
