@@ -6,10 +6,12 @@ fixed 30-outer-iteration implicit-Schur LM solve (identical deterministic
 work on every backend) and reports wall time against the recorded CPU
 reference of THIS solver on this host.
 
-Engine: the track-table one-hot engine (solvers/ba_tt.py) on TPU — the
-gather-free layout, measured 3.5x the pallas engine in interleaved A/B
-(RESULTS.md round 2) — falling back to the Pallas fused-kernel path and then
-the flat XLA engine; the CPU baseline is the flat engine (the fastest CPU
+Engine: the windowed track-table engine with both index kernels
+(solvers/ba_wtt.py + ops/pallas/{wtt_matvec,wtt_linearize}.py) on TPU —
+measured 0.1333 s vs the tt engine's 0.1413 in interleaved A/B
+(experiments/tpu_bench_wtt.py, RESULTS.md round 4b) — falling back to the
+gather-free tt engine, then the Pallas fused-kernel grid path, then the
+flat XLA engine; the CPU baseline is the flat engine (the fastest CPU
 configuration).
 
 vs_baseline semantics: CPU_BASELINE_S / tpu_time — i.e. the speedup over the
@@ -111,9 +113,39 @@ def emit_headline(force_cpu: bool = False, cg: int | None = None,
     # making the CPU baseline run interminable.
     reps = 2 if force_cpu else 5
     fallback_reason = None
-    engine = "tt"
+    engine = "wtt"
     if force_cpu:
         engine = "flat"  # device engines target TPU; CPU baseline = flat XLA
+    if engine == "wtt":
+        # The windowed track-table engine with BOTH index kernels (Pallas
+        # matvec + fused contribution linearize) — measured 0.1333 s vs the
+        # tt engine's 0.1413 in interleaved A/B at this exact config
+        # (experiments/tpu_bench_wtt.py, RESULTS.md round 4b).  At 100
+        # cameras the window covers the whole camera range, so wtt is
+        # tt-with-windows and the kernels' one-hot byte elimination is the
+        # entire difference.
+        try:
+            from tpu3drecon.problems.wtt import expand_onehots, wtt_from_flat
+            from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
+            from tpu3drecon.utils.placement import commit
+
+            flat_host = build_problem(on_host=True)
+            problem = commit(expand_onehots(wtt_from_flat(flat_host)))
+            solver = make_wtt_ba_solver(
+                cfg._replace(matvec_kernel="index", linearize_kernel="index"),
+                aot=True,
+            )
+            compile_s, times, (cams, pts, state) = timed_solve_stats(
+                solver, problem, repeats=reps
+            )
+        except Exception:
+            import traceback
+
+            print("bench: wtt engine failed, falling back to tt:",
+                  file=sys.stderr)
+            traceback.print_exc()
+            fallback_reason = traceback.format_exc().strip().splitlines()[-1]
+            engine = "tt"
     if engine == "tt":
         try:
             from tpu3drecon.problems.tt import tt_from_flat
@@ -172,7 +204,9 @@ def emit_headline(force_cpu: bool = False, cg: int | None = None,
     )
 
     eval_problem = (
-        build_problem(on_host=not force_cpu) if engine in ("tt", "pallas") else problem
+        build_problem(on_host=not force_cpu)
+        if engine in ("wtt", "tt", "pallas")
+        else problem
     )
     rmse = float(jax.device_get(reprojection_rmse(eval_problem, cams, pts)))
 

@@ -248,12 +248,23 @@ class TestWTTSolve:
         with pytest.raises(ValueError, match="linearize_kernel"):
             ba_solve_wtt(wtt_problem, BAConfig(linearize_kernel="typo"))
 
-    def test_linearize_kernel_band_precond_rejected(self, wtt_problem):
-        with pytest.raises(ValueError, match="band"):
-            ba_solve_wtt(
-                wtt_problem,
-                BAConfig(precond="ssor", linearize_kernel="index"),
-            )
+    @pytest.mark.parametrize("precond", ["ssor", "tridiag"])
+    def test_linearize_kernel_band_preconds(self, wtt_problem, precond):
+        """The kernel's want_od path emits the band preconditioners'
+        S_{c,c+1} adjacent-pair rows from in-VMEM pair one-hots; the
+        trajectory must match the XLA pair-one-hot reduction."""
+        config = BAConfig(
+            maxiter=4, gtol=0.0, ftol=0.0, cg_maxiter=6, cg_rtol=1e-10,
+            precond=precond,
+        )
+        _, _, st_x = ba_solve_wtt(wtt_problem, config)
+        _, _, st_k = ba_solve_wtt(
+            wtt_problem, config._replace(linearize_kernel="index")
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
 
     def test_converges_to_gt_rmse(self, seq_problem, wtt_problem):
         # The line-trajectory scene is gauge-weak (cameras nearly collinear,

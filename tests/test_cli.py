@@ -129,10 +129,6 @@ def test_kernel_flag_validation(capsys):
     with pytest.raises(SystemExit) as exc:
         _config(mk("tt", linearize="index"), n_cameras=100)
     assert exc.value.code == 2
-    with pytest.raises(SystemExit) as exc:
-        _config(mk("wtt", precond="ssor", linearize="index"), n_cameras=2000)
-    assert exc.value.code == 2
-    assert "band preconditioner" in capsys.readouterr().err
     # auto on CPU keeps the XLA paths (kernels would run in interpret mode).
     cfg = _config(mk("wtt"), n_cameras=100)
     assert cfg.matvec_kernel is False and cfg.linearize_kernel is False

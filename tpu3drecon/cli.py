@@ -57,9 +57,8 @@ def _add_common(p):
         "engine).  auto follows the measured TPU A/B (RESULTS.md round "
         "4b): the fused Pallas contribution kernel ('index', f32-faithful "
         "split dots, BAL linearize 42 -> 18 ms, solve 0.123 -> 0.102 "
-        "s/LM-iter with --matvec index) on TPU when the preconditioner "
-        "is not a band type (ssor/tridiag need the XLA path's "
-        "adjacent-pair rows), the batched-XLA path elsewhere",
+        "s/LM-iter with --matvec index; band-precond pair rows "
+        "included) on TPU, the batched-XLA path elsewhere",
     )
     p.add_argument(
         "--checkpoint-dir", default=None,
@@ -143,25 +142,15 @@ def _config(args, n_cameras: int = 0):
             file=sys.stderr,
         )
         raise SystemExit(2)
-    if linearize == "index" and precond in ("ssor", "tridiag"):
-        print(
-            f"[tpu3drecon] --linearize index is incompatible with the "
-            f"band preconditioner {precond!r} (the fused kernel does not "
-            "produce the adjacent-pair band rows); use --precond "
-            "schur_jacobi/jacobi_u or --linearize xla",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
     if linearize == "auto":
         # Measured TPU A/B (RESULTS.md round 4b): the fused contribution
-        # kernel is f32-faithful and cuts the BAL linearize 42 -> 18 ms;
-        # band preconds need the XLA path's pair rows, and off-TPU the
-        # kernel would run in slow Pallas interpret mode.
+        # kernel is f32-faithful and cuts the BAL linearize 42 -> 18 ms
+        # (band preconditioners included — the kernel emits their
+        # adjacent-pair rows); off-TPU it would run in slow Pallas
+        # interpret mode, so keep the XLA path there.
         linearize = (
             "index"
-            if args.engine == "wtt"
-            and jax.default_backend() == "tpu"
-            and precond not in ("ssor", "tridiag")
+            if args.engine == "wtt" and jax.default_backend() == "tpu"
             else "xla"
         )
     return BAConfig(

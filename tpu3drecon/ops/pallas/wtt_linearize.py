@@ -13,6 +13,10 @@ This kernel computes, per (group, point-block) grid step and track row:
   u[(i,j)]  = jc_i . jc_j            (damped-U upper triangle, diag-major)
   g[i]      = jc_i . r               (camera gradient columns)
   coup[(i,j)] = (W V^-1 W^T)[(i,j)]  (Schur-Jacobi coupling, optional)
+  od[i,j]   = S_{c,c+1} pair rows    (band preconditioners, optional:
+                                      wv(slot t) x w(slot t+1) reduced
+                                      through in-VMEM adjacent-pair
+                                      one-hots)
 
 entirely in VMEM/registers, then reduces slots into window-camera rows
 through a one-hot tile REBUILT from ``WTTBucket.wcam`` (iota-compare)
@@ -54,6 +58,7 @@ def _contrib_kernel(
     tb: int,
     window: int,
     use_sj: bool,
+    want_od: bool,
     terms: int,
 ):
     j = pl.program_id(1)
@@ -87,6 +92,8 @@ def _contrib_kernel(
 
     sym_idx = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
     acc = None
+    acc_od = None
+    prev_wv = prev_idx = None
     for t in range(tb):
         idx = wcam_ref[0, t, :]  # (NB,)
         oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
@@ -124,6 +131,34 @@ def _contrib_kernel(
         contrib = jnp.concatenate(parts, axis=0)  # (K, NB)
         part = split_dot(oh, contrib)  # (W, K)
         acc = part if acc is None else acc + part
+        if want_od:
+            # Band S_{c,c+1} pair rows: od[i, j] at track slot t-1 pairs
+            # wv(t-1) with w(t), reduced through the ADJACENT-pair one-hot
+            # (slot t-1 on window row w AND slot t on row w+1 — the same
+            # pair_oh the XLA path builds by rolling the dense one-hot
+            # along the window axis; track camera lists are strictly
+            # increasing so no wrap row exists).
+            if prev_wv is not None:
+                pair = (
+                    (w_iota == prev_idx[None, :])
+                    & (w_iota + 1 == idx[None, :])
+                ).astype(jnp.bfloat16)
+                od = jnp.concatenate(
+                    [
+                        prev_wv[0][i][None] * w_l[0]
+                        + prev_wv[1][i][None] * w_l[1]
+                        + prev_wv[2][i][None] * w_l[2]
+                        for i in range(np_cam)
+                    ],
+                    axis=0,
+                )  # (np*np, NB), i-major
+                od_part = split_dot(pair, od)
+                acc_od = od_part if acc_od is None else acc_od + od_part
+            prev_wv, prev_idx = wv_l, idx
+    if want_od:
+        if acc_od is None:  # tb == 1: no adjacent pairs
+            acc_od = jnp.zeros((window, np_cam * np_cam), acc.dtype)
+        acc = jnp.concatenate([acc, acc_od], axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -136,8 +171,8 @@ def _contrib_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("np_cam", "tb", "pc", "window", "use_sj", "terms",
-                     "interpret"),
+    static_argnames=("np_cam", "tb", "pc", "window", "use_sj", "want_od",
+                     "terms", "interpret"),
 )
 def wtt_contrib_rows_idx(
     wcam: jax.Array,  # (G, Tb*Pc) integer window index per slot (-1 = pad)
@@ -150,17 +185,26 @@ def wtt_contrib_rows_idx(
     pc: int,
     window: int,
     use_sj: bool,
+    want_od: bool = False,
     terms: int = 3,
     interpret: bool = False,
 ) -> jax.Array:
     """Window-camera contribution rows (G, W, K) from index-encoded
-    one-hots; K = n_triu + np [+ n_triu with ``use_sj``], columns in the
-    ba_tt diagonal-major _triu_pairs order (u | g [| coupling])."""
+    one-hots; K = n_triu + np [+ n_triu with ``use_sj``] [+ np^2 band
+    pair rows with ``want_od``], columns in the ba_tt diagonal-major
+    _triu_pairs order (u | g [| coupling] [| od])."""
+    if want_od and not use_sj:
+        raise ValueError("want_od requires use_sj (od reuses the W/WV tiles)")
     g = wcam.shape[0]
     w = window
     dtype = jc.dtype
     n_triu = np_cam * (np_cam + 1) // 2
-    k = n_triu + np_cam + (n_triu if use_sj else 0)
+    k = (
+        n_triu
+        + np_cam
+        + (n_triu if use_sj else 0)
+        + (np_cam * np_cam if want_od else 0)
+    )
     if not interpret and pc % 128 != 0:
         raise ValueError(
             f"wtt contribution kernel needs point-chunk padding divisible "
@@ -173,6 +217,7 @@ def wtt_contrib_rows_idx(
     per_nb = (
         2 * (4 * tb + itemsize * tb * (2 * np_cam + 6 + 2) + 6 * itemsize)
         + tb * (2 * w + (itemsize + 2 * 2) * k + 8 * itemsize * np_cam)
+        + (tb * 2 * w if want_od else 0)  # retained pair one-hot tiles
     )
     nb_budget = max(128, int(10_000_000 // max(per_nb, 1)) // 128 * 128)
     nb = next(
@@ -184,7 +229,7 @@ def wtt_contrib_rows_idx(
 
     kernel = functools.partial(
         _contrib_kernel, np_cam=np_cam, tb=tb, window=w, use_sj=use_sj,
-        terms=terms,
+        want_od=want_od, terms=terms,
     )
     rows = pl.pallas_call(
         kernel,

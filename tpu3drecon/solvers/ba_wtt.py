@@ -393,11 +393,14 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         want_od = config.precond in ("tridiag", "ssor")
         g_b, _, tb_b, pc_b = bucket.uv.shape
         n_b = tb_b * pc_b
-        if config.linearize_kernel == "index" and not want_od:
+        if config.linearize_kernel == "index":
             # Fused Pallas contribution+reduction (index one-hot, exact
             # split dots): no plane transients, no chunking needed — the
             # XLA path below materializes ~8-9 GB of contribution planes
-            # per LM iteration (ops/pallas/wtt_linearize.py).
+            # per LM iteration (ops/pallas/wtt_linearize.py).  Band
+            # preconditioners ride the same pass: the kernel emits the
+            # S_{c,c+1} adjacent-pair rows (``want_od``) from in-VMEM
+            # pair one-hots.
             from tpu3drecon.ops.pallas.wtt_linearize import (
                 wtt_contrib_rows_idx,
             )
@@ -405,7 +408,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
             widx = _window_idx(bucket)
             rows = wtt_contrib_rows_idx(
                 bucket.wcam, jc, jp, r, v_inv, np_cam, tb_b, pc_b,
-                int(bucket.window), use_sj,
+                int(bucket.window), use_sj, want_od,
                 interpret=jax.default_backend() != "tpu",
             )
             reduced = _scatter_rows(rows, widx, c_pad)
@@ -415,6 +418,8 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
                 coup_cols = coup_cols + reduced[
                     :, n_triu + np_cam : 2 * n_triu + np_cam
                 ]
+            if want_od:
+                e_cols = e_cols + reduced[:, 2 * n_triu + np_cam :]
             if config.matvec_bf16:
                 jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
             bucket_normals.append(
@@ -601,14 +606,6 @@ def ba_solve_wtt(
         raise ValueError(
             f"linearize_kernel must be False or 'index'; got "
             f"{config.linearize_kernel!r}"
-        )
-    if config.linearize_kernel == "index" and config.precond in (
-        "ssor", "tridiag"
-    ):
-        raise ValueError(
-            "linearize_kernel='index' does not produce the band "
-            "preconditioners' adjacent-pair rows; use precond="
-            "'schur_jacobi'/'jacobi_u' or linearize_kernel=False"
         )
     needs_wcam = config.matvec_kernel in ("index", "index1") or (
         config.linearize_kernel == "index"

@@ -103,10 +103,11 @@ class BAConfig(NamedTuple):
     # one-hot reduction in one fused Pallas pass
     # (ops/pallas/wtt_linearize.py, "index") instead of materializing
     # ~8-9 GB of plane tensors through XLA — the dominant share of the
-    # BAL-scale linearize (33.2 of 41.5 ms, experiments/tpu_lin_phases2.py).
-    # Exact (3-term bf16-split dots, f32-faithful); requires
-    # WTTBucket.wcam; band preconditioners (ssor/tridiag) keep the XLA
-    # path (their adjacent-pair off-diagonal rows are not in the kernel).
+    # BAL-scale linearize (measured 42.4 -> 18.2 ms, experiments/
+    # tpu_lin_kernel_ab.py).  Exact (3-term bf16-split dots,
+    # f32-faithful); requires WTTBucket.wcam.  Band preconditioners
+    # (ssor/tridiag) ride the same pass: the kernel emits their
+    # S_{c,c+1} adjacent-pair rows from in-VMEM pair one-hots.
     linearize_kernel: object = False
     # Track-table engines: store the per-slot jc/jp Jacobian planes used by
     # the CG matvec / rhs / back-substitution in bfloat16 (the U/V/coupling
