@@ -346,6 +346,20 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
 
     st = _stats(times)
     s_per_iter = st["median_s"] / lm_iters
+    # Marginal per-iteration rate: a 4x-iteration solve of the SAME
+    # executable (maxiter is a dynamic operand) minus the headline run,
+    # divided by the extra iterations — this subtracts the per-call
+    # dispatch/init overhead that wall/maxiter at small maxiter folds in
+    # (measured 8-100 ms/call depending on tunnel session; RESULTS.md
+    # round 4b fixed-block decomposition).  The headline metric keeps the
+    # historical wall/maxiter convention for cross-round comparability.
+    solver4 = make_wtt_ba_solver(
+        config._replace(maxiter=4 * lm_iters), aot=True
+    )
+    _, times4, _ = _timed(lambda: solver4(problem), max(2, reps - 1))
+    marginal = (sorted(times4)[len(times4) // 2] - st["median_s"]) / (
+        3 * lm_iters
+    )
     return {
         "metric": "bal_wtt_s_per_lm_iter",
         "value": round(s_per_iter, 4),
@@ -354,6 +368,7 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
         "vs_baseline": round(0.128 / s_per_iter, 2),
         "extra": {
             **st,
+            "marginal_s_per_lm_iter": round(marginal, 4),
             "compile_s": round(compile_s, 2),
             "n_cameras": n_cams,
             "points_per_camera": ppc,
