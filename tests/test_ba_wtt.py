@@ -169,7 +169,7 @@ class TestWTTSolve:
         )
         np.testing.assert_allclose(np.array(pts_w), np.array(pts_t), atol=1e-6)
 
-    @pytest.mark.parametrize("kernel", [True, "index"])
+    @pytest.mark.parametrize("kernel", [True, "index", "index2"])
     def test_matvec_kernel_step_equivalent(self, wtt_problem, kernel):
         """The single-pass Pallas PCG matvecs (ops/pallas/wtt_matvec.py,
         interpret mode here) must reproduce the XLA two-pass trajectory.

@@ -42,17 +42,21 @@ def _add_common(p):
         "otherwise",
     )
     p.add_argument(
-        "--matvec", choices=("auto", "xla", "fused", "index", "index1"),
+        "--matvec",
+        choices=("auto", "xla", "fused", "index", "index2", "index1"),
         default="auto",
         help="PCG coupling matvec implementation (wtt engine).  auto "
         "follows the measured TPU A/B (RESULTS.md round 4b): the "
         "index-encoded Pallas kernel ('index', f32-faithful split dots, "
         "BAL 0.159 -> 0.129 s/LM-iter) on TPU, the XLA two-pass path "
-        "elsewhere; 'index1' is the fast single-pass bf16 mode "
-        "(0.112 s/LM-iter, ~2e-3 operator perturbation)",
+        "elsewhere; 'index2' drops the third bf16 split term "
+        "(~1e-5 operator fidelity, ~1.1 ms/matvec cheaper) and "
+        "'index1' is the fast single-pass bf16 mode (~2e-3 operator "
+        "perturbation)",
     )
     p.add_argument(
-        "--linearize", choices=("auto", "xla", "index"), default="auto",
+        "--linearize", choices=("auto", "xla", "index", "index2"),
+        default="auto",
         help="linearization contribution-reduction implementation (wtt "
         "engine).  auto follows the measured TPU A/B (RESULTS.md round "
         "4b): the fused Pallas contribution kernel ('index', f32-faithful "

@@ -297,11 +297,11 @@ def _schur_matvec(nb: WTTNormal, x_pad, problem: BAWTTProblem, axis_name=None,
             g, _, tb, pc = bucket.uv.shape
             widx = _window_idx(bucket)
             xw_t = jnp.transpose(_window_rows(x_pad, widx), (0, 2, 1))
-            if use_kernel in ("index", "index1"):
+            if use_kernel in ("index", "index1", "index2"):
                 rows = wtt_coupling_rows_idx(
                     xw_t, bucket.wcam, bn.jc, bn.jp, bn.v_inv,
                     np_cam, tb, pc, int(bucket.window),
-                    terms=1 if use_kernel == "index1" else 3,
+                    terms={"index1": 1, "index2": 2}.get(use_kernel, 3),
                     interpret=interpret,
                 )
             else:
@@ -393,7 +393,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         want_od = config.precond in ("tridiag", "ssor")
         g_b, _, tb_b, pc_b = bucket.uv.shape
         n_b = tb_b * pc_b
-        if config.linearize_kernel == "index":
+        if config.linearize_kernel in ("index", "index2"):
             # Fused Pallas contribution+reduction (index one-hot, exact
             # split dots): no plane transients, no chunking needed — the
             # XLA path below materializes ~8-9 GB of contribution planes
@@ -409,6 +409,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
             rows = wtt_contrib_rows_idx(
                 bucket.wcam, jc, jp, r, v_inv, np_cam, tb_b, pc_b,
                 int(bucket.window), use_sj, want_od,
+                terms=2 if config.linearize_kernel == "index2" else 3,
                 interpret=jax.default_backend() != "tpu",
             )
             reduced = _scatter_rows(rows, widx, c_pad)
@@ -597,18 +598,20 @@ def ba_solve_wtt(
         raise ValueError(
             "matvec_bf16 applies to the XLA matvec path; disable matvec_kernel"
         )
-    if config.matvec_kernel not in (False, True, "fused", "index", "index1"):
+    if config.matvec_kernel not in (
+        False, True, "fused", "index", "index1", "index2"
+    ):
         raise ValueError(
-            f"matvec_kernel must be False, True/'fused', 'index' or "
-            f"'index1'; got {config.matvec_kernel!r}"
+            f"matvec_kernel must be False, True/'fused', 'index', "
+            f"'index1'/'index2'; got {config.matvec_kernel!r}"
         )
-    if config.linearize_kernel not in (False, "index"):
+    if config.linearize_kernel not in (False, "index", "index2"):
         raise ValueError(
-            f"linearize_kernel must be False or 'index'; got "
+            f"linearize_kernel must be False, 'index' or 'index2'; got "
             f"{config.linearize_kernel!r}"
         )
-    needs_wcam = config.matvec_kernel in ("index", "index1") or (
-        config.linearize_kernel == "index"
+    needs_wcam = config.matvec_kernel in ("index", "index1", "index2") or (
+        config.linearize_kernel in ("index", "index2")
     )
     if needs_wcam and any(b.wcam is None for b in problem.buckets):
         raise ValueError(

@@ -93,6 +93,8 @@ class BAConfig(NamedTuple):
     #       3.93 vs 7.57 ms/matvec at BAL scale with max-rel-diff vs the
     #       XLA path 2.3e-7 (= f32 accumulation-order noise); step-
     #       equivalent (tests/test_ba_wtt.py).
+    #   "index2": 2-term split (2.77 ms/matvec, ~4e-6 operator fidelity
+    #       — near-exact but NOT bit-trajectory-equivalent).
     #   "index1": single-pass bf16 variant (1.68 ms/matvec, ~2e-3
     #       operator perturbation — NOT trajectory-equivalent).
     # Off by default pending the full-solve A/B (experiments/
@@ -108,6 +110,9 @@ class BAConfig(NamedTuple):
     # f32-faithful); requires WTTBucket.wcam.  Band preconditioners
     # (ssor/tridiag) ride the same pass: the kernel emits their
     # S_{c,c+1} adjacent-pair rows from in-VMEM pair one-hots.
+    # "index2" drops the third split term (~1e-5 contribution fidelity,
+    # cheaper MXU passes — near-exact speed mode, pairs with
+    # matvec_kernel="index2").
     linearize_kernel: object = False
     # Track-table engines: store the per-slot jc/jp Jacobian planes used by
     # the CG matvec / rhs / back-substitution in bfloat16 (the U/V/coupling
