@@ -125,12 +125,14 @@ def emit_headline(force_cpu: bool = False, cg: int | None = None,
         # tt-with-windows and the kernels' one-hot byte elimination is the
         # entire difference.
         try:
-            from tpu3drecon.problems.wtt import expand_onehots, wtt_from_flat
+            from tpu3drecon.problems.wtt import wtt_from_flat
             from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
             from tpu3drecon.utils.placement import commit
 
             flat_host = build_problem(on_host=True)
-            problem = commit(expand_onehots(wtt_from_flat(flat_host)))
+            # Fully indexed (both kernels): the dense one-hot is never
+            # read, so it is never materialized (defer_onehot).
+            problem = commit(wtt_from_flat(flat_host, defer_onehot=True))
             solver = make_wtt_ba_solver(
                 cfg._replace(matvec_kernel="index", linearize_kernel="index"),
                 aot=True,

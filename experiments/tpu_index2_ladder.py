@@ -22,13 +22,15 @@ def main() -> None:
     import jax
 
     from tpu3drecon.benchmark.balscale import bal_sequential_wtt
-    from tpu3drecon.problems.wtt import expand_onehots
     from tpu3drecon.solvers.ba_wtt import make_wtt_ba_solver
     from tpu3drecon.solvers.bundle_adjust import BAConfig
     from tpu3drecon.utils.placement import commit
 
     print("backend:", jax.default_backend(), flush=True)
-    problem = commit(expand_onehots(bal_sequential_wtt()))
+    # All ladder configs are fully indexed: the dense one-hot is never
+    # read, so the problem stays DEFERRED (wcam only) — also proves the
+    # deferred path at BAL scale on the real TPU.
+    problem = commit(bal_sequential_wtt())
     jax.device_get(problem.buckets[0].uv[0, 0, 0, 0])
 
     base = BAConfig(

@@ -325,7 +325,12 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
             flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
             problem = wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
 
-    problem = expand_onehots(commit(problem))
+    problem = commit(problem)
+    if jax.default_backend() != "tpu":
+        # The XLA paths read the dense one-hot; the TPU config below is
+        # fully indexed (both kernels) and never does — 1 GB of HBM
+        # residency and the expansion pass skipped.
+        problem = expand_onehots(problem)
     n_obs = int(sum(
         float(jax.device_get(b.mask.sum())) for b in problem.buckets
     ))

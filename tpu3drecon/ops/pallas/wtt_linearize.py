@@ -169,6 +169,105 @@ def _contrib_kernel(
         out_ref[0] = out_ref[0] + acc
 
 
+def _cam_planes_kernel(
+    wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
+    tw_ref,  # (1, D, W) transposed camera-table window rows
+    out_ref,  # (1, D, tb, NB) per-slot camera parameter planes
+    *,
+    tb: int,
+    window: int,
+    terms: int,
+):
+    """Per-slot camera parameter planes from index-rebuilt one-hots —
+    ``ba_wtt._cam_planes_w`` without the dense one-hot read.  Exact at
+    terms=3 (selection of f32 table rows reconstructed from three bf16
+    split terms; each partial bf16_term x {0,1} is exact)."""
+    acc_t = tw_ref.dtype
+    nb = wcam_ref.shape[2]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
+    tw_t = tw_ref[0]  # (D, W)
+
+    for t in range(tb):
+        idx = wcam_ref[0, t, :]
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
+        dims = (((1,), (0,)), ((), ()))
+        if acc_t == jnp.float64:
+            cp = jax.lax.dot_general(
+                tw_t, oh.astype(acc_t), dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            cp = None
+            rem = tw_t
+            for _ in range(terms):
+                h = rem.astype(jnp.bfloat16)
+                rem = rem - h.astype(acc_t)
+                part = jax.lax.dot_general(
+                    h, oh, dimension_numbers=dims,
+                    preferred_element_type=acc_t,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                cp = part if cp is None else cp + part
+        out_ref[0, :, t, :] = cp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tb", "pc", "window", "terms", "interpret"),
+)
+def wtt_cam_planes_idx(
+    wcam: jax.Array,  # (G, Tb*Pc)
+    tw: jax.Array,  # (G, W, D) camera-table window rows
+    tb: int,
+    pc: int,
+    window: int,
+    terms: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """(G, D, Tb, Pc) per-slot camera planes from the index encoding."""
+    g = wcam.shape[0]
+    w = window
+    d = tw.shape[2]
+    dtype = tw.dtype
+    if not interpret and pc % 128 != 0:
+        raise ValueError(
+            f"wtt cam-planes kernel needs point-chunk padding divisible "
+            f"by 128 on TPU (got Pc={pc}); repack with point_chunk>=128"
+        )
+    itemsize = jnp.dtype(dtype).itemsize
+    per_nb = (
+        2 * (4 * tb + d * itemsize * tb)
+        + tb * (2 * w + 2 * d * itemsize)
+    )
+    nb_budget = max(128, int(10_000_000 // max(per_nb, 1)) // 128 * 128)
+    nb = next(
+        (kk for kk in range(min(896, nb_budget, pc), 127, -128)
+         if pc % kk == 0 and kk % 128 == 0),
+        pc,
+    )
+    kernel = functools.partial(
+        _cam_planes_kernel, tb=tb, window=w, terms=terms
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g, pc // nb),
+        in_specs=[
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, w), lambda gg, j: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, tb, nb), lambda gg, j: (gg, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, d, tb, pc), dtype),
+        interpret=interpret,
+    )(
+        wcam.reshape(g, tb, pc).astype(jnp.int32),
+        jnp.transpose(tw, (0, 2, 1)),  # (G, D, W)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("np_cam", "tb", "pc", "window", "use_sj", "want_od",

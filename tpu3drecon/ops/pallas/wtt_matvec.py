@@ -315,6 +315,260 @@ def wtt_coupling_rows_idx(
     return rows
 
 
+def _wt_kernel_idx(
+    xw_ref,  # (1, np, W) window rows of x for this group
+    wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
+    jc_ref,  # (2*np, 1, Tb, NB)
+    jp_ref,  # (6, 1, Tb, NB)
+    out_ref,  # (1, 3, NB) W^T x point planes
+    *,
+    np_cam: int,
+    tb: int,
+    window: int,
+    terms: int,
+):
+    """Phase 1 of ``_matvec_kernel_idx`` standalone: (W^T x) point planes
+    from index-rebuilt one-hots — the back-substitution's product
+    (ba_wtt._wt_times_bucket_w) without the ~1 GB dense one-hot read."""
+    acc_t = xw_ref.dtype
+    xw = xw_ref[0]
+    nb = wcam_ref.shape[2]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
+
+    def split_dot(x, oh_bf):
+        dims = (((1,), (0,)), ((), ()))
+        if acc_t == jnp.float64:
+            return jax.lax.dot_general(
+                x, oh_bf.astype(acc_t), dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        acc = None
+        rem = x
+        for _ in range(terms):
+            h = rem.astype(jnp.bfloat16)
+            rem = rem - h.astype(acc_t)
+            part = jax.lax.dot_general(
+                h, oh_bf, dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    wtx = [None, None, None]
+    for t in range(tb):
+        idx = wcam_ref[0, t, :]
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)
+        xg = split_dot(xw, oh)  # (np, NB)
+        s0 = jnp.sum(jc_ref[:np_cam, 0, t, :] * xg, axis=0)
+        s1 = jnp.sum(jc_ref[np_cam:, 0, t, :] * xg, axis=0)
+        jp_t = jp_ref[:, 0, t, :]
+        for l in range(3):
+            part = jp_t[l] * s0 + jp_t[3 + l] * s1
+            wtx[l] = part if wtx[l] is None else wtx[l] + part
+    for l in range(3):
+        out_ref[0, l, :] = wtx[l]
+
+
+def _w_kernel_idx(
+    y_ref,  # (1, 3, NB) point planes y
+    wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
+    jc_ref,  # (2*np, 1, Tb, NB)
+    jp_ref,  # (6, 1, Tb, NB)
+    out_ref,  # (1, np, W) W y rows, accumulated over j
+    *,
+    np_cam: int,
+    tb: int,
+    window: int,
+    terms: int,
+):
+    """Phase 2 of ``_matvec_kernel_idx`` standalone: (W y) camera rows
+    from index-rebuilt one-hots — the rhs product
+    (ba_wtt._w_times_bucket_w) without the dense one-hot read."""
+    j = pl.program_id(1)
+    acc_t = y_ref.dtype
+    nb = wcam_ref.shape[2]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
+
+    def split_dot(x, oh_bf):
+        dims = (((1,), (1,)), ((), ()))
+        if acc_t == jnp.float64:
+            return jax.lax.dot_general(
+                x, oh_bf.astype(acc_t), dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        acc = None
+        rem = x
+        for _ in range(terms):
+            h = rem.astype(jnp.bfloat16)
+            rem = rem - h.astype(acc_t)
+            part = jax.lax.dot_general(
+                h, oh_bf, dimension_numbers=dims,
+                preferred_element_type=acc_t,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    y0 = y_ref[0, 0, :]
+    y1 = y_ref[0, 1, :]
+    y2 = y_ref[0, 2, :]
+    acc = None
+    for t in range(tb):
+        idx = wcam_ref[0, t, :]
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)
+        jp_t = jp_ref[:, 0, t, :]
+        s0p = jp_t[0] * y0 + jp_t[1] * y1 + jp_t[2] * y2
+        s1p = jp_t[3] * y0 + jp_t[4] * y1 + jp_t[5] * y2
+        z = (jc_ref[:np_cam, 0, t, :] * s0p[None]
+             + jc_ref[np_cam:, 0, t, :] * s1p[None])  # (np, NB)
+        part = split_dot(z, oh)  # (np, W)
+        acc = part if acc is None else acc + part
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+def _idx_block(pc: int, per_nb: int) -> int:
+    """Largest 128-multiple point block dividing Pc under the shared
+    ~10 MB VMEM stack budget (see ``wtt_coupling_rows_idx``)."""
+    nb_budget = max(128, int(10_000_000 // max(per_nb, 1)) // 128 * 128)
+    return next(
+        (k for k in range(min(896, nb_budget, pc), 127, -128)
+         if pc % k == 0 and k % 128 == 0),
+        pc,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("np_cam", "tb", "pc", "window", "terms", "interpret"),
+)
+def wtt_wt_planes_idx(
+    xw_t: jax.Array,  # (G, np, W) transposed window rows of x_pad
+    wcam: jax.Array,  # (G, Tb*Pc)
+    jc: jax.Array,  # (2np, G, Tb, Pc)
+    jp: jax.Array,  # (6, G, Tb, Pc)
+    np_cam: int,
+    tb: int,
+    pc: int,
+    window: int,
+    terms: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """(W^T x) point planes (3, G, Pc) from the index-encoded one-hot."""
+    g = wcam.shape[0]
+    w = window
+    dtype = xw_t.dtype
+    if not interpret and pc % 128 != 0:
+        raise ValueError(
+            f"wtt W^T kernel needs point-chunk padding divisible by 128 "
+            f"on TPU (got Pc={pc}); repack with point_chunk>=128"
+        )
+    itemsize = jnp.dtype(dtype).itemsize
+    per_nb = (
+        2 * (4 * tb + (2 * np_cam + 6) * itemsize * tb)
+        + tb * (2 * w + (np_cam + 4) * itemsize)
+    )
+    nb = _idx_block(pc, per_nb)
+    kernel = functools.partial(
+        _wt_kernel_idx, np_cam=np_cam, tb=tb, window=w, terms=terms
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, pc // nb),
+        in_specs=[
+            pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * np_cam, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, nb), lambda gg, j: (gg, 0, j),
+                               memory_space=pltpu.VMEM),
+        # (G, 3, Pc) layout: Mosaic needs the last-two block dims full or
+        # 8/128-divisible — (1, 3, nb) with 3 = full middle dim qualifies,
+        # (3, 1, nb) does not.
+        out_shape=jax.ShapeDtypeStruct((g, 3, pc), dtype),
+        interpret=interpret,
+    )(
+        xw_t,
+        wcam.reshape(g, tb, pc).astype(jnp.int32),
+        jc,
+        jp,
+    )
+    return jnp.transpose(out, (1, 0, 2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("np_cam", "tb", "pc", "window", "terms", "interpret"),
+)
+def wtt_w_rows_idx(
+    y: jax.Array,  # (3, G, Pc) point planes
+    wcam: jax.Array,  # (G, Tb*Pc)
+    jc: jax.Array,  # (2np, G, Tb, Pc)
+    jp: jax.Array,  # (6, G, Tb, Pc)
+    np_cam: int,
+    tb: int,
+    pc: int,
+    window: int,
+    terms: int = 3,
+    interpret: bool = False,
+) -> jax.Array:
+    """(W y) camera rows (G, np, W) from the index-encoded one-hot."""
+    g = wcam.shape[0]
+    w = window
+    dtype = y.dtype
+    if not interpret and pc % 128 != 0:
+        raise ValueError(
+            f"wtt W kernel needs point-chunk padding divisible by 128 "
+            f"on TPU (got Pc={pc}); repack with point_chunk>=128"
+        )
+    itemsize = jnp.dtype(dtype).itemsize
+    per_nb = (
+        2 * (4 * tb + (2 * np_cam + 6) * itemsize * tb + 3 * itemsize)
+        + tb * (2 * w + (np_cam + 4) * itemsize)
+    )
+    nb = _idx_block(pc, per_nb)
+    kernel = functools.partial(
+        _w_kernel_idx, np_cam=np_cam, tb=tb, window=w, terms=terms
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g, pc // nb),
+        in_specs=[
+            pl.BlockSpec((1, 3, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * np_cam, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_cam, w), lambda gg, j: (gg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, np_cam, w), dtype),
+        interpret=interpret,
+    )(
+        jnp.transpose(y, (1, 0, 2)),  # (G, 3, Pc) — see wt_planes note
+        wcam.reshape(g, tb, pc).astype(jnp.int32),
+        jc,
+        jp,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("np_cam", "tb", "pc", "window", "interpret")
 )

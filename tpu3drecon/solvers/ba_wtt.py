@@ -139,7 +139,11 @@ def _resident_problem_bytes(problem, np_cam: int) -> int:
     for b in problem.buckets:
         g, _, tb, pc = b.uv.shape
         S = g * tb * pc
-        total += b.onehot.size * b.onehot.dtype.itemsize
+        if b.onehot is not None:
+            total += b.onehot.size * b.onehot.dtype.itemsize
+        wcam = getattr(b, "wcam", None)
+        if wcam is not None:
+            total += wcam.size * wcam.dtype.itemsize
         total += b.uv.size * b.uv.dtype.itemsize
         total += b.mask.size * b.mask.dtype.itemsize
         itemsize = jnp.dtype(b.uv.dtype).itemsize
@@ -360,7 +364,28 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     e_cols = jnp.zeros((c_pad, np_cam * np_cam), dtype)
     bucket_normals = []
     for bucket, pts in zip(problem.buckets, pts_list):
-        cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
+        if config.linearize_kernel in ("index", "index2"):
+            # Index cam-plane expansion (ops/pallas/wtt_linearize.py):
+            # in-VMEM one-hot rebuild + exact split-dot selection instead
+            # of the ~1 GB dense one-hot einsum.  With the contribution
+            # kernel below this makes the linearization (and, with the
+            # index matvec, the whole solve) one-hot-free.
+            from tpu3drecon.ops.pallas.wtt_linearize import (
+                wtt_cam_planes_idx,
+            )
+
+            _, _, tb0, pc0 = bucket.uv.shape
+            tw0 = _window_rows(table_pad, _window_idx(bucket))
+            # terms=3 always: cp defines the Jacobians and residuals
+            # themselves — reduced fidelity here degrades convergence
+            # (unlike the CG operator, which tolerates index2/index1).
+            cp = wtt_cam_planes_idx(
+                bucket.wcam, tw0, tb0, pc0, int(bucket.window),
+                terms=3,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
         blocks = jax.vmap(
             lambda c, p, u, m: _tt_blocks(c, p, u, m, inv_w, config),
             in_axes=(0, 1, 0, 0),
@@ -561,6 +586,26 @@ def _cost(params, problem: BAWTTProblem, config: BAConfig, axis_name=None):
     inv_w = (jnp.asarray(1.0, dtype) / problem.avg_cam_width).astype(dtype)
     total = jnp.zeros((), dtype)
     for bucket, pts in zip(problem.buckets, pts_list):
+        if config.linearize_kernel in ("index", "index2"):
+            # Fused Pallas cost: in-VMEM one-hot rebuild + exact split-dot
+            # camera-row selection + projection + masked reduction
+            # (ops/pallas/wtt_cost.py) — deletes the ~1 GB one-hot read
+            # and the ~330 MB cam-plane transient of the XLA path below.
+            from tpu3drecon.ops.pallas.wtt_cost import wtt_cost_cols_idx
+
+            _, _, tb_b, pc_b = bucket.uv.shape
+            widx = _window_idx(bucket)
+            tw = _window_rows(table_pad, widx)  # (G, W, D)
+            # terms=3 always: the cost gates trust-region
+            # accept/reject; reduced fidelity there is not worth ~0.5 ms.
+            cols = wtt_cost_cols_idx(
+                bucket.wcam, tw, pts, bucket.uv, bucket.mask,
+                tb_b, pc_b, int(bucket.window), config.loss,
+                terms=3,
+                interpret=jax.default_backend() != "tpu",
+            )
+            total = total + 0.5 * (inv_w * inv_w) * jnp.sum(cols)
+            continue
         cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
         pb = pts[:, :, None, :]  # (3, G, 1, Pc)
         cpm = jnp.moveaxis(cp, 1, 0)  # (D, G, Tb, Pc)
@@ -588,11 +633,16 @@ def ba_solve_wtt(
 ) -> Tuple[CameraParams, jax.Array, BAState]:
     """Windowed track-table BA solve; same outputs and trust-region
     trajectory as ba_solve_tt / ba_solve_grid (tests/test_ba_wtt.py)."""
-    if any(b.onehot is None for b in problem.buckets):
+    fully_indexed = config.matvec_kernel in (
+        "index", "index1", "index2"
+    ) and config.linearize_kernel in ("index", "index2")
+    if not fully_indexed and any(b.onehot is None for b in problem.buckets):
         raise ValueError(
             "problem has deferred one-hots (wtt_from_flat(defer_onehot=True));"
-            " materialize them on the target device first: problems.wtt."
-            "expand_onehots(commit(problem))"
+            " materialize them on the target device first (problems.wtt."
+            "expand_onehots(commit(problem))) — or run fully indexed"
+            " (matvec_kernel + linearize_kernel 'index'*), which never"
+            " reads the dense one-hot"
         )
     if config.matvec_kernel and config.matvec_bf16:
         raise ValueError(
@@ -652,7 +702,51 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
     def pmax(x):
         return jax.lax.pmax(x, axis_name) if axis_name else x
 
+    # The rhs (W V^-1 g_pt) and back-substitution (W^T dc) products ride
+    # the index kernels whenever the coupling matvec does — ALWAYS at the
+    # exact 3-term split: they define the actual LM step, and reduced
+    # fidelity there wrecks convergence (measured: terms-2 rhs/backsub
+    # sent the 12-iter BAL loss 2.0e-2 -> 2.3e-1; the CG OPERATOR at
+    # reduced terms is benign because CG is run inexact anyway).
+    idx_terms = 3 if config.matvec_kernel in (
+        "index", "index1", "index2"
+    ) else None
+
+    def w_times(bn, vw, bucket, interpret):
+        if idx_terms is None:
+            return _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
+        from tpu3drecon.ops.pallas.wtt_matvec import wtt_w_rows_idx
+
+        np_cam = bn.jc.shape[0] // 2
+        g, _, tb, pc = bucket.uv.shape
+        rows = wtt_w_rows_idx(
+            vw, bucket.wcam, bn.jc, bn.jp, np_cam, tb, pc,
+            int(bucket.window), terms=idx_terms, interpret=interpret,
+        )
+        return _scatter_rows(
+            jnp.transpose(rows, (0, 2, 1)), _window_idx(bucket),
+            problem.c_pad,
+        )
+
+    def wt_times(bn, dc, bucket, interpret):
+        if idx_terms is None:
+            return _wt_times_bucket_w(bn, dc, bucket)
+        from tpu3drecon.ops.pallas.wtt_matvec import wtt_wt_planes_idx
+
+        np_cam = bn.jc.shape[0] // 2
+        g, _, tb, pc = bucket.uv.shape
+        xw_t = jnp.transpose(
+            _window_rows(dc, _window_idx(bucket)), (0, 2, 1)
+        )
+        return wtt_wt_planes_idx(
+            xw_t, bucket.wcam, bn.jc, bn.jp, np_cam, tb, pc,
+            int(bucket.window), terms=idx_terms, interpret=interpret,
+        )
+
     def propose(params, lam):
+        interpret = bool(config.matvec_kernel) and (
+            jax.default_backend() != "tpu"
+        )
         nb = _linearize(params, lam, problem, config, axis_name)
         gp_max = jnp.asarray(0.0, dtype)
         for bn in nb.buckets:
@@ -665,18 +759,18 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
         b = jnp.zeros_like(nb.g_cam)
         for bn, bucket in zip(nb.buckets, problem.buckets):
             vw = _sym3_matvec_g(bn.v_inv, bn.g_pt)
-            b = b + _w_times_bucket_w(bn, vw, bucket, problem.c_pad)
+            b = b + w_times(bn, vw, bucket, interpret)
         b = _psum(b, axis_name) - nb.g_cam
         dc, cg_iters = _pcg(
             nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name,
             use_kernel=config.matvec_kernel,
-            interpret=config.matvec_kernel and jax.default_backend() != "tpu",
+            interpret=interpret,
         )
 
         dps = []
         pred_pt = jnp.zeros((), dtype)
         for bn, bucket in zip(nb.buckets, problem.buckets):
-            wtx = _wt_times_bucket_w(bn, dc, bucket)
+            wtx = wt_times(bn, dc, bucket, interpret)
             dp = _sym3_matvec_g(bn.v_inv, -bn.g_pt - wtx)  # (3, G, Pc)
             if not config.optimize_points:
                 dp = dp * 0.0

@@ -97,6 +97,11 @@ class BAConfig(NamedTuple):
     #       — near-exact but NOT bit-trajectory-equivalent).
     #   "index1": single-pass bf16 variant (1.68 ms/matvec, ~2e-3
     #       operator perturbation — NOT trajectory-equivalent).
+    # Any index mode also routes the rhs (W V^-1 g_pt) and
+    # back-substitution (W^T dc) products through the index kernels,
+    # ALWAYS at the exact 3-term split: reduced fidelity there wrecks
+    # convergence (measured 2.0e-2 -> 2.3e-1 12-iter BAL loss), while
+    # the CG operator tolerates it (CG is run inexact anyway).
     # Off by default pending the full-solve A/B (experiments/
     # tpu_index_matvec{,2,3}.py).
     matvec_kernel: object = False
