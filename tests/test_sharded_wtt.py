@@ -62,6 +62,27 @@ class TestShardedWTT:
         assert rmse < 5e-3
         assert float(st_f.loss) < 1e-8
 
+    def test_index_kernels_sharded(self, problem_pair):
+        """The fully-indexed config (every one-hot consumer a Pallas
+        index kernel; interpret mode here) must work under shard_map and
+        match the single-device fully-indexed solve — the production
+        multi-chip configuration."""
+        flat, wtt = problem_pair
+        mesh = make_mesh(2)
+        cfg = TRAJ_CONFIG._replace(
+            matvec_kernel="index", linearize_kernel="index"
+        )
+        cams_s, pts_s, st_s = ba_solve_wtt_sharded(wtt, cfg, mesh=mesh)
+        cams_1, pts_1, st_1 = ba_solve_wtt(wtt, cfg)
+        assert int(st_s.accepted) == int(st_1.accepted)
+        np.testing.assert_allclose(
+            np.asarray(pts_s), np.asarray(pts_1), rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cams_s.tvecs), np.asarray(cams_1.tvecs), rtol=0,
+            atol=1e-6,
+        )
+
     def test_joint_distortion_sharded(self, problem_pair):
         flat, wtt = problem_pair
         mesh = make_mesh(4)

@@ -67,9 +67,15 @@ def _contrib_kernel(
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
 
     def split_dot(oh_bf, data):
-        """(W, K) += one-hot^T-reduction of (K, nb) f32 data tiles."""
+        """(W, K) += one-hot^T-reduction of (K, nb) f32 data tiles.
+
+        ``terms=0``: one HIGHEST-precision dot (6 MXU passes, no VPU
+        split chain) — exact like terms=3; which wins depends on whether
+        the kernel is MXU- or VPU-bound (the contribution operand is
+        ~99 planes wide, so the 2-op-per-plane split chain is real VPU
+        work here, unlike the 9-plane matvec operands)."""
         dims = (((1,), (1,)), ((), ()))
-        if acc_t == jnp.float64:
+        if acc_t == jnp.float64 or terms == 0:
             return jax.lax.dot_general(
                 oh_bf.astype(acc_t), data,
                 dimension_numbers=dims,
