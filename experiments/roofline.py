@@ -90,6 +90,94 @@ def wtt_model(problem, cg_iters=8, np_cam=8):
     return items, flops
 
 
+MXU_TFLOPS_BF16 = 197.0  # v5e bf16 peak (public spec)
+
+
+def wtt_indexed_model(problem, cg_iters=8, np_cam=8, terms=3):
+    """Bytes + MXU passes for the FULLY-INDEXED engine (round 4b): every
+    one-hot consumer is a Pallas kernel reading ``wcam`` (2 B/slot) and
+    rebuilding one-hot tiles in VMEM; contribution planes and the cost's
+    cam planes never touch HBM.  The selection dots cost
+    ``terms x W x S x 128`` lane-padded MACs each (measured ~1.1 ms per
+    term per dot at BAL scale — the MXU, not HBM, is the binding
+    resource for the dots now)."""
+    items = {}
+    f32 = 4
+
+    def add(name, nbytes):
+        items[name] = items.get(name, 0) + nbytes
+
+    mxu_flops = 0.0
+    n_triu = np_cam * (np_cam + 1) // 2
+    for b in problem.buckets:
+        g, _, tb, pc = b.uv.shape
+        S = g * tb * pc
+        P = g * pc
+        W = b.window
+        wc = 2 * S  # int16 wcam read per kernel launch
+
+        def dot_flops(n_dots):
+            # selection units: (window-row x slot) per term pass
+            return n_dots * terms * W * S
+
+        # -- linearization --
+        add("lin: wcam reads (cam planes + contrib)", 2 * wc)
+        add("lin: cam planes write+read", 2 * 19 * S * f32)
+        add("lin: uv+mask read", 3 * S * f32)
+        add("lin: jc/jp/r write", (2 * np_cam + 6 + 2) * S * f32)
+        add("lin: jp/r read (V, g_pt)", (6 + 2 + 6 + 2) * S * f32)
+        add("lin: v6/v_inv point planes", 3 * 6 * P * f32)
+        add("lin: jc/jp/r re-read (contrib kernel)",
+            (2 * np_cam + 2 + 6) * S * f32)
+        mxu_flops += dot_flops(2)  # cam-plane selection + contrib reduce
+
+        # -- rhs --
+        add("rhs: wcam + jc/jp read", wc + (2 * np_cam + 6) * S * f32)
+        mxu_flops += dot_flops(1)
+
+        # -- CG matvecs (single-pass kernel: wcam + jc/jp read once) --
+        add("cg: matvec streams",
+            cg_iters * (wc + (2 * np_cam + 6) * S * f32))
+        mxu_flops += cg_iters * dot_flops(2)
+
+        # -- back-substitution --
+        add("backsub: wcam + jc/jp read", wc + (2 * np_cam + 6) * S * f32)
+        mxu_flops += dot_flops(1)
+
+        # -- candidate cost (fused kernel: no cam-plane round trip) --
+        add("cost: wcam + pts + uv + mask read",
+            wc + (3 * P + 3 * S) * f32)
+        mxu_flops += dot_flops(1)
+    return items, mxu_flops
+
+
+# Measured selection-pass rate: the index matvec kernel runs 2 dots x 3
+# terms over (W=256, S=4.26M) in 3.9 ms (experiments/tpu_index_matvec3.py)
+# -> 0.65 ms per dot-term-pass = 1.68e12 (window-row x slot) units/s.
+# The 128-lane-padded spec model (terms x W x S x 128 MACs at bf16 peak)
+# OVERPREDICTS by ~2x (measured beats it — partial-lane dots don't pay the
+# full pad), so this empirical rate is the honest attribution basis.
+SELECT_UNITS_PER_S = 256 * 4_259_840 * 6 / 3.9e-3  # 1.68e12 units/s
+
+
+def report_indexed(tag, items, select_units, measured_s_per_iter):
+    total = sum(items.values())
+    t_hbm = total / (HBM_GBPS * 1e9)
+    t_sel = select_units / SELECT_UNITS_PER_S
+    print(f"\n== {tag} ==")
+    for k, v in sorted(items.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:44s} {v/1e9:8.3f} GB")
+    print(f"  {'TOTAL bytes/LM-iter':44s} {total/1e9:8.3f} GB")
+    print(f"  HBM floor {t_hbm*1e3:.1f} ms ({100*t_hbm/measured_s_per_iter:.0f}% "
+          f"of measured) — the engine is NOT bandwidth-bound any more;")
+    print(f"  selection passes (measured-rate model) {t_sel*1e3:.1f} ms = "
+          f"{100*t_sel/measured_s_per_iter:.0f}% of the measured "
+          f"{measured_s_per_iter*1e3:.1f} ms/LM-iter marginal")
+    print("  -> remaining levers: fewer split terms (index2/index1) or "
+          "narrower windows; byte elimination is done.")
+    return total, t_sel
+
+
 def tt_model(problem, cg_iters=8, np_cam=8):
     """Same accounting for the dense track table (solvers/ba_tt.py): the
     one-hot is (C, S) instead of per-chunk windows; plane math identical."""
@@ -156,6 +244,19 @@ def main():
     items, flops = wtt_model(hub, cg_iters=8)
     report("wtt engine, BAL hub split (1712 cams / 3.96M obs)", items,
            flops, 0.2168)
+
+    # Fully-indexed engine (round 4b): measured MARGINAL rates
+    # (tpu_index2_ladder.py 52.0 ms seq / tpu_hub_kernels.py 106.1 hub).
+    items, mxu = wtt_indexed_model(seq, cg_iters=8)
+    report_indexed(
+        "wtt FULLY INDEXED, BAL sequential (marginal rate)", items, mxu,
+        0.0520,
+    )
+    items, mxu = wtt_indexed_model(hub, cg_iters=8)
+    report_indexed(
+        "wtt FULLY INDEXED, BAL hub split (marginal rate)", items, mxu,
+        0.1061,
+    )
 
 
 if __name__ == "__main__":
