@@ -59,6 +59,10 @@ _SLOW_NODE_PATTERNS = (
     "test_suite.py::test_bal_ratio_tiny",
     "test_aot_cache.py::test_aot_wrap_solver",
     "test_reorder.py::TestHubSplit::test_band_precond_rejected_with_hub_tiles",
+    "test_reorder.py::TestHubSplit::test_split_windows_matches_on_hub",
+    "test_ba_wtt.py::TestSplitWindows::test_solve_equality",
+    "test_ba_wtt.py::TestSplitWindows::test_fully_indexed_deferred",
+    "test_ba_wtt.py::TestSplitWindows::test_chunk_multiple_padding",
     "test_cli.py::test_solve_bal_wtt_infeasible_falls_back_to_grid",
     "test_pallas_kernels.py::test_cam_normal_matches_grid_engine",
     "test_sharded_wtt.py",

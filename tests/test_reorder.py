@@ -250,6 +250,35 @@ class TestHubSplit:
             float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
         )
 
+    def test_split_windows_matches_on_hub(self, hub_flat):
+        """split_windows under a hub split: points are re-sorted by
+        (has_global, min_local_cam) so hub-free chunks drop the shared
+        global tiles entirely, and window classes narrow per chunk —
+        values must match the unsplit hub packing."""
+        base = wtt_from_flat(hub_flat, point_chunk=64, reorder_cameras="hub")
+        split = wtt_from_flat(
+            hub_flat, point_chunk=64, reorder_cameras="hub",
+            split_windows=True,
+        )
+        assert any(b.global_tiles > 0 for b in base.buckets)
+
+        def macs(p):
+            return sum(
+                b.window * b.uv.shape[0] * b.uv.shape[2] * b.uv.shape[3]
+                for b in p.buckets
+            )
+
+        assert macs(split) < macs(base)
+        config = BAConfig(
+            maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-10
+        )
+        _, _, st_b = ba_solve_wtt(base, config)
+        _, _, st_s = ba_solve_wtt(split, config)
+        assert int(st_s.accepted) == int(st_b.accepted)
+        np.testing.assert_allclose(
+            float(st_s.loss), float(st_b.loss), rtol=1e-9, atol=1e-18
+        )
+
     def test_band_precond_rejected_with_hub_tiles(self, hub_flat):
         wtt = wtt_from_flat(hub_flat, point_chunk=128, reorder_cameras="hub")
         config = BAConfig(maxiter=2, cg_maxiter=4, precond="ssor")

@@ -24,6 +24,7 @@ def bal_sequential_wtt(
     verbose: bool = True,
     track_span: int = 4,
     points_per_camera: int = 584,
+    split_windows: bool = False,
 ):
     """The cached BAL-scale wtt problem, deferred one-hots, numpy leaves.
 
@@ -65,6 +66,8 @@ def bal_sequential_wtt(
             kwargs = {} if chunk_multiple is None else {
                 "chunk_multiple": chunk_multiple
             }
+            if split_windows:
+                kwargs["split_windows"] = True
             return wtt_from_flat(
                 flat, point_chunk=512, defer_onehot=True, **kwargs
             )
@@ -77,6 +80,8 @@ def bal_sequential_wtt(
         key += "_shuffled99"
     if chunk_multiple is not None:
         key += f"_cm{chunk_multiple}"
+    if split_windows:
+        key += "_splitw"
     return cached_problem(key, build, verbose=verbose)
 
 
@@ -86,6 +91,7 @@ def bal_hub_wtt(
     hub_obs: int = 4000,
     points_per_camera: int = 584,
     track_span: int = 4,
+    split_windows: bool = False,
 ):
     """BAL-scale HUB-STRUCTURED (photo-tourism co-visibility) wtt problem.
 
@@ -122,10 +128,15 @@ def bal_hub_wtt(
             flat, _ = scene_to_ba_problem(
                 noisy, observed=scene, dtype=jnp.float32
             )
-            return wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
+            return wtt_from_flat(
+                flat, point_chunk=512, defer_onehot=True,
+                split_windows=split_windows,
+            )
 
     key = (
         f"balhub_1712x{points_per_camera}_span{track_span}"
         f"_h{hub_fraction}x{hub_obs}_s7_n0.5_pc512_deferred_{_VERSION}"
     )
+    if split_windows:
+        key += "_splitw"
     return cached_problem(key, build, verbose=verbose)

@@ -230,6 +230,7 @@ def wtt_from_flat(
     onehot_dtype=None,
     reorder_cameras: str = "auto",
     defer_onehot: bool = False,
+    split_windows: bool = False,
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
@@ -252,6 +253,21 @@ def wtt_from_flat(
     the mesh size for the sharded engine, which splits the group axis
     across devices: parallel/sharded_wtt.py).  Padding groups carry
     all-zero masks/one-hots and contribute exact zeros.
+
+    ``split_windows`` refines the per-bucket window to MICRO-CHUNK
+    granularity: chunks are classed by their own 128-aligned window (and,
+    under a hub split, by whether they touch any global camera after a
+    stable (has_global, min_local_cam) point re-sort), and each class
+    becomes its own WTTBucket.  The engine's one-hot selection work is
+    window_rows x slots, so the narrow majority classes cut the dominant
+    MAC passes ~2x at BAL scale (measured MAC ratios 0.511x sequential /
+    0.501x hub, experiments/wtt_window_stats2.py) at the cost of more,
+    smaller group batches — a win for the Pallas index kernels (grid
+    steps are sequential), a wash-to-loss for the XLA einsum paths
+    (batched-matmul throughput decays with many small batches), hence
+    opt-in.  All-padding chunks are dropped outright.  Values are
+    step-equivalent to the unsplit packing (same contributions, different
+    f32 summation order).
 
     ``reorder_cameras`` controls the window-locality relabeling
     (problems/reorder.py — RCM on the co-visibility graph): ``"auto"``
@@ -359,14 +375,111 @@ def wtt_from_flat(
     # grouping plan.  Short-track buckets are tiny but camera-wide after
     # the camera-local sort; windows are PER BUCKET so they don't poison
     # the dominant long-track buckets.
-    plans = []  # (ti, tc, tm, window, groups, cap) per bucket
+    #
+    # ``split_windows`` refines this to MICRO-CHUNK granularity: each
+    # 512-point chunk gets its own 128-aligned window CLASS (and, with a
+    # hub split, its own needs-global flag after re-sorting points so
+    # hub-observing points cluster), and chunks are grouped by
+    # (base, class) into separate WTTBuckets per class.  The engine's
+    # selection-dot work is window_rows x slots, so narrowing the
+    # majority classes cuts the dominant MAC passes ~2x at BAL scale
+    # (measured 0.511x sequential / 0.501x hub,
+    # experiments/wtt_window_stats2.py) — the bucket-max window pays 256
+    # rows for chunks that individually span < 128 cameras.
+    plans = []  # (ti, tc, tm, window, groups, cap, n_gt_eff, porder, row_off)
     onehot_bytes = 0
+    row_off = 0  # row offset of the current grid bucket inside g.points3d
+    g_rows_all = np.asarray(jax.device_get(g.point_rows))
     for b in g.buckets:
         ti = np.asarray(jax.device_get(b.track_idx))  # (Pb, Tb)
         tc = np.asarray(jax.device_get(b.track_cam))
         tm = np.asarray(jax.device_get(b.track_mask))
         Pb, Tb = ti.shape
         n_chunks = Pb // Pc
+        porder = None
+        if split_windows and n_gt > 0:
+            # Cluster hub-observing points so the majority of chunks can
+            # skip the shared global tiles entirely (stable: preserves the
+            # camera-local order inside each half).
+            real = tm > 0
+            loc = np.where(real & (tc < glob_start), tc, np.iinfo(np.int64).max)
+            min_local = loc.min(axis=1)
+            has_gp = (real & (tc >= glob_start)).any(axis=1)
+            porder = np.lexsort((min_local, has_gp))
+            ti, tc, tm = ti[porder], tc[porder], tm[porder]
+
+        if split_windows:
+            # Per-chunk (base, window class, needs-global); None = padding
+            # chunk (no real observation AND no real point row) — dropped
+            # outright.  Chunks holding real-but-unobserved points (all
+            # obs masked) are KEPT at the minimum window so those points
+            # ride through the solve unchanged, matching the unsplit
+            # packing and the other engines.
+            rows_b = g_rows_all[row_off : row_off + Pb]
+            if porder is not None:
+                rows_b = rows_b[porder]
+            keys = []
+            for gi in range(n_chunks):
+                sl = slice(gi * Pc, (gi + 1) * Pc)
+                cams = tc[sl][tm[sl] > 0]
+                if cams.size == 0:
+                    if (rows_b[sl] < 0).all():
+                        keys.append(None)
+                    else:
+                        keys.append((0, CAM_TILE, False))
+                    continue
+                has_gc = bool((cams >= glob_start).any())
+                local = cams[cams < glob_start]
+                if local.size:
+                    base = (int(local.min()) // CAM_TILE) * CAM_TILE
+                    wcls = min(
+                        _pad_up(int(local.max()) - base + 1, CAM_TILE), c_pad
+                    )
+                    base = min(base, c_pad - wcls)
+                else:
+                    base, wcls = 0, 0
+                keys.append((base, wcls, has_gc))
+
+            # Runs of consecutive equal keys (dropped chunks are
+            # transparent), collected per (class, has_global).
+            runs_by_class: dict = {}
+            cur_key, cur_ids = None, []
+            for gi, k in enumerate(keys + [False]):
+                if k is None:
+                    continue
+                if k == cur_key:
+                    cur_ids.append(gi)
+                    continue
+                if cur_key is not None:
+                    runs_by_class.setdefault(cur_key[1:], []).append(
+                        (cur_key[0], cur_ids)
+                    )
+                cur_key, cur_ids = (k, [gi]) if k is not False else (None, [])
+
+            for (wcls, has_gc) in sorted(runs_by_class):
+                runs = runs_by_class[(wcls, has_gc)]
+                cap = _choose_cap(
+                    [len(ids) for _, ids in runs],
+                    min_groups=max(chunk_multiple, 1),
+                )
+                groups = []
+                for base, ids in runs:
+                    for lo in range(0, len(ids), cap):
+                        groups.append((base, ids[lo : lo + cap]))
+                while len(groups) % max(chunk_multiple, 1):
+                    groups.append((0, []))
+                n_gt_eff = n_gt if has_gc else 0
+                plans.append(
+                    (ti, tc, tm, wcls, groups, cap, n_gt_eff, porder, row_off)
+                )
+                onehot_bytes += (
+                    (wcls + n_gt_eff * CAM_TILE)
+                    * len(groups) * Tb * cap * Pc
+                    * jnp.dtype(oh_dtype).itemsize
+                )
+            row_off += Pb
+            continue
+
         window = CAM_TILE
         raw_bases = np.zeros(n_chunks, np.int64)
         has_obs = np.zeros(n_chunks, bool)
@@ -412,7 +525,8 @@ def wtt_from_flat(
         while len(groups) % max(chunk_multiple, 1):
             groups.append((0, []))
 
-        plans.append((ti, tc, tm, window, groups, cap))
+        plans.append((ti, tc, tm, window, groups, cap, n_gt, None, row_off))
+        row_off += Pb
         onehot_bytes += (
             (window + n_gt * CAM_TILE)
             * len(groups) * Tb * cap * Pc * jnp.dtype(oh_dtype).itemsize
@@ -427,14 +541,13 @@ def wtt_from_flat(
 
     g_pts = np.asarray(jax.device_get(g.points3d))
     g_rows = np.asarray(jax.device_get(g.point_rows))
-    g_off = 0  # row offset of the current bucket inside g.points3d
 
     buckets = []
     offsets = []
     pts_chunks = []
     rows_chunks = []
     off = 0
-    for ti, tc, tm, window, groups, cap in plans:
+    for ti, tc, tm, window, groups, cap, n_gt_eff, porder, g_off in plans:
         Pb, Tb = ti.shape
         B = len(groups)
         Pc_eff = cap * Pc
@@ -460,13 +573,16 @@ def wtt_from_flat(
                 cols = tt_i * Pc_eff + col0 + pp
                 tcv = tc_g[tm_g > 0]
                 # Local cameras index their chunk window; globals index the
-                # shared tail rows [window, window + n_gt*128).
+                # shared tail rows [window, window + n_gt_eff*128).
                 wcam_b[bi, cols] = np.where(
                     tcv < glob_start, tcv - base,
                     window + (tcv - glob_start),
                 )
-                sel[bi, col0 : col0 + Pc] = g_off + np.arange(gi * Pc, (gi + 1) * Pc)
-        total_rows = window + n_gt * CAM_TILE
+                rows_g = np.arange(gi * Pc, (gi + 1) * Pc)
+                if porder is not None:
+                    rows_g = porder[rows_g]
+                sel[bi, col0 : col0 + Pc] = g_off + rows_g
+        total_rows = window + n_gt_eff * CAM_TILE
         # wcam is retained even when the dense one-hot is materialized: the
         # index-encoded matvec kernel (ops/pallas/wtt_matvec.py,
         # matvec_kernel="index") consumes it, and at 2 bytes/slot it is
@@ -487,7 +603,7 @@ def wtt_from_flat(
                 cam_base=jnp.asarray(cam_base),
                 wcam=wcam,
                 window=total_rows,
-                global_tiles=n_gt,
+                global_tiles=n_gt_eff,
                 global_tile0=g_tile0,
             )
         )
@@ -501,9 +617,8 @@ def wtt_from_flat(
         rows_chunks.append(rows_k)
         offsets.append(off)
         off += sel.size
-        g_off += Pb
 
-    windows = [p[3] + n_gt * CAM_TILE for p in plans]
+    windows = [p[3] + p[6] * CAM_TILE for p in plans]
     return BAWTTProblem(
         cameras=g.cameras,
         points3d=jnp.asarray(np.concatenate(pts_chunks, axis=0))
