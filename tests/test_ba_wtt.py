@@ -531,6 +531,28 @@ class TestSplitWindows:
             float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
         )
 
+    def test_class_cap_coalescing(self, long_flat, packs):
+        """An int ``split_windows`` caps the per-bucket class count via
+        exact covering-bin merging (problems/wtt._coalesce_window_classes) —
+        fewer WTTBuckets = fewer Pallas kernel variants to compile (the
+        uncapped hub split's 23 classes cost a 112 s BAL compile+first
+        vs 26 s unsplit, experiments/tpu_split_windows.py).  cap=1 is
+        the strongest merge (every class folds into the widest) and must
+        reproduce the unsplit solution exactly up to f64 noise."""
+        base, split = packs
+        capped = wtt_from_flat(long_flat, point_chunk=64, split_windows=1)
+        assert len(capped.buckets) == len(base.buckets)
+        assert len(split.buckets) > len(capped.buckets)
+        config = BAConfig(
+            maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-10
+        )
+        _, _, st_b = ba_solve_wtt(base, config)
+        _, _, st_c = ba_solve_wtt(capped, config)
+        assert int(st_c.accepted) == int(st_b.accepted)
+        np.testing.assert_allclose(
+            float(st_c.loss), float(st_b.loss), rtol=1e-9, atol=1e-18
+        )
+
     def test_chunk_multiple_padding(self, long_flat):
         split = wtt_from_flat(
             long_flat, point_chunk=64, split_windows=True, chunk_multiple=4

@@ -279,6 +279,31 @@ class TestHubSplit:
             float(st_s.loss), float(st_b.loss), rtol=1e-9, atol=1e-18
         )
 
+    def test_split_class_cap_on_hub(self, hub_flat):
+        """A small int cap coalesces hub window classes — global and
+        local-only classes merge under covering keys (max window, OR of
+        the needs-global flag; non-global chunks ride a global class
+        with all-zero selection rows) — with the same solution as the
+        uncapped split."""
+        uncapped = wtt_from_flat(
+            hub_flat, point_chunk=64, reorder_cameras="hub",
+            split_windows=999,
+        )
+        capped = wtt_from_flat(
+            hub_flat, point_chunk=64, reorder_cameras="hub",
+            split_windows=2,
+        )
+        assert len(capped.buckets) < len(uncapped.buckets)
+        config = BAConfig(
+            maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-10
+        )
+        _, _, st_u = ba_solve_wtt(uncapped, config)
+        _, _, st_c = ba_solve_wtt(capped, config)
+        assert int(st_c.accepted) == int(st_u.accepted)
+        np.testing.assert_allclose(
+            float(st_c.loss), float(st_u.loss), rtol=1e-9, atol=1e-18
+        )
+
     def test_band_precond_rejected_with_hub_tiles(self, hub_flat):
         wtt = wtt_from_flat(hub_flat, point_chunk=128, reorder_cameras="hub")
         config = BAConfig(maxiter=2, cg_maxiter=4, precond="ssor")

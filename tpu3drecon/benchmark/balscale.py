@@ -24,7 +24,7 @@ def bal_sequential_wtt(
     verbose: bool = True,
     track_span: int = 4,
     points_per_camera: int = 584,
-    split_windows: bool = False,
+    split_windows: bool | int = False,
 ):
     """The cached BAL-scale wtt problem, deferred one-hots, numpy leaves.
 
@@ -67,7 +67,7 @@ def bal_sequential_wtt(
                 "chunk_multiple": chunk_multiple
             }
             if split_windows:
-                kwargs["split_windows"] = True
+                kwargs["split_windows"] = split_windows
             return wtt_from_flat(
                 flat, point_chunk=512, defer_onehot=True, **kwargs
             )
@@ -81,7 +81,9 @@ def bal_sequential_wtt(
     if chunk_multiple is not None:
         key += f"_cm{chunk_multiple}"
     if split_windows:
-        key += "_splitw"
+        from tpu3drecon.problems.wtt import _split_class_cap
+
+        key += f"_splitw_c{_split_class_cap(split_windows)}"
     return cached_problem(key, build, verbose=verbose)
 
 
@@ -91,7 +93,7 @@ def bal_hub_wtt(
     hub_obs: int = 4000,
     points_per_camera: int = 584,
     track_span: int = 4,
-    split_windows: bool = False,
+    split_windows: bool | int = False,
 ):
     """BAL-scale HUB-STRUCTURED (photo-tourism co-visibility) wtt problem.
 
@@ -138,5 +140,7 @@ def bal_hub_wtt(
         f"_h{hub_fraction}x{hub_obs}_s7_n0.5_pc512_deferred_{_VERSION}"
     )
     if split_windows:
-        key += "_splitw"
+        from tpu3drecon.problems.wtt import _split_class_cap
+
+        key += f"_splitw_c{_split_class_cap(split_windows)}"
     return cached_problem(key, build, verbose=verbose)

@@ -301,10 +301,16 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
     from tpu3drecon.solvers.bundle_adjust import BAConfig
     from tpu3drecon.utils.placement import commit
 
+    # Micro-chunk window classes (split_windows) cut the index kernels'
+    # dominant one-hot selection passes (measured BAL marginal 52.1 ->
+    # 37.9 ms/LM-iter — experiments/tpu_split_windows.py, RESULTS.md
+    # round 4c); the XLA einsum paths (CPU fallback below) prefer the
+    # unsplit few-large-batches packing.
+    on_tpu = jax.default_backend() == "tpu"
     if full_scale:
         from tpu3drecon.benchmark.balscale import bal_sequential_wtt
 
-        problem = bal_sequential_wtt(verbose=False)
+        problem = bal_sequential_wtt(verbose=False, split_windows=on_tpu)
         n_cams, ppc = 1712, 584
     else:
         import jax.numpy as jnp
@@ -323,7 +329,10 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
             )
             noisy = perturb_scene(scene, seed=8, point2d_noise=0.5)
             flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float32)
-            problem = wtt_from_flat(flat, point_chunk=512, defer_onehot=True)
+            problem = wtt_from_flat(
+                flat, point_chunk=512, defer_onehot=True,
+                split_windows=on_tpu,
+            )
 
     problem = commit(problem)
     if jax.default_backend() != "tpu":
@@ -339,7 +348,6 @@ def run_bal(reps: int = 3, lm_iters: int = 3, full_scale: bool = True,
     # run the f32-faithful index kernels (measured 0.159 -> 0.129 -> 0.102
     # s/LM-iter at this config, RESULTS.md round 4b); off-TPU the Pallas
     # kernels would run in slow interpret mode.
-    on_tpu = jax.default_backend() == "tpu"
     config = BAConfig(
         maxiter=lm_iters, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=0.0,
         precond="schur_jacobi",

@@ -65,6 +65,17 @@ def _add_common(p):
         "included) on TPU, the batched-XLA path elsewhere",
     )
     p.add_argument(
+        "--split-windows", choices=("auto", "on", "off"), default="auto",
+        help="micro-chunk window classes for the wtt packer "
+        "(problems/wtt.py split_windows): narrower per-chunk windows cut "
+        "the dominant one-hot selection passes (measured BAL marginals "
+        "52.1 -> 37.9 ms/LM-iter sequential, 105.7 -> 62.6 hub — "
+        "RESULTS.md round 4c) at the cost of more kernel variants to "
+        "compile.  auto = on exactly when the solve runs the Pallas "
+        "index kernels on TPU; the XLA einsum paths prefer few large "
+        "batches, so off elsewhere",
+    )
+    p.add_argument(
         "--checkpoint-dir", default=None,
         help="run the solve as resumable chunks with orbax checkpoints in "
         "this directory; a killed run re-invoked with the same directory "
@@ -187,8 +198,26 @@ def _solve(problem, args, jax):
 
         from tpu3drecon.utils.placement import commit
 
+        sw = getattr(args, "split_windows", "auto")
+        if sw == "auto":
+            # Measured TPU A/B (experiments/tpu_split_windows.py, RESULTS.md
+            # round 4c): micro-chunk window classes cut the index kernels'
+            # dominant selection passes (BAL marginals 52.1 -> 37.9
+            # ms/LM-iter sequential, 105.7 -> 62.6 hub) but are a
+            # wash-to-loss for the XLA einsum paths, which want few large
+            # batches — so split exactly when both kernels run.
+            split = bool(config.matvec_kernel and config.linearize_kernel)
+        else:
+            split = sw == "on"
+        # Fully-indexed configs never read the dense one-hot: defer it so
+        # it is never materialized (~1 GB HBM at BAL scale).
+        fully_indexed = config.matvec_kernel in (
+            "index", "index1", "index2"
+        ) and config.linearize_kernel in ("index", "index2")
         try:
-            packed = commit(wtt_from_flat(problem))
+            packed = commit(wtt_from_flat(
+                problem, split_windows=split, defer_onehot=fully_indexed,
+            ))
         except ValueError as e:
             # Dislocal scene beyond even the hub/global split: the camera
             # windows exceed the one-hot memory budget.  Fall back to a

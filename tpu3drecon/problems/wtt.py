@@ -178,6 +178,99 @@ def unpermute_cameras(cameras: CameraParams, cam_rows) -> CameraParams:
     )
 
 
+# Default per-bucket window-class cap under ``split_windows=True``.  Each
+# class becomes its own WTTBucket — a separate set of Pallas kernel
+# variants to compile: the UNCAPPED hub split produced 23 classes and a
+# 112 s BAL compile+first vs 26 s unsplit (experiments/tpu_split_windows
+# .py), so classes are merged down to this many per bucket.
+_SPLIT_MAX_CLASSES = 4
+
+
+def _split_class_cap(split_windows) -> int:
+    """Per-bucket window-class cap implied by ``split_windows``.
+
+    ``True`` -> the default cap ``_SPLIT_MAX_CLASSES``; an ``int`` N > 0
+    -> cap N (large N ~= uncapped); ``0``/``False`` -> no split (callers
+    never reach the cap in that case).
+    """
+    if split_windows is True:
+        return _SPLIT_MAX_CLASSES
+    return int(split_windows)
+
+
+def _coalesce_window_classes(runs_by_class, max_classes, n_gt, c_pad):
+    """Merge window classes into at most ``max_classes`` covering bins.
+
+    A class ``(w, gc)`` may ride any bin ``(W, GC)`` with ``W >= w`` and
+    ``GC >= gc``: a wider window with re-clamped 128-aligned bases still
+    covers every chunk's camera span, and a global-tile bin covers
+    non-global chunks with all-zero selection rows — both directions
+    preserve values exactly (padded rows contribute exact zeros).  The
+    bin set is chosen by EXHAUSTIVE enumeration over the O(2 x widths)
+    candidate covering keys (class counts are tiny — the worst observed
+    was 7 per bucket), minimizing total selection-MACs (chunk count x
+    bin window rows); a greedy pair-merge was measured pathological here
+    (its final forced merge put 163 groups on a 1792-row window at cap 2
+    — experiments/wtt_split_cap_stats.py).  Deterministic: candidates
+    and ties resolve through sorted keys.
+    """
+    import itertools
+
+    def rows(key):
+        w, gc = key
+        return w + (n_gt * CAM_TILE if gc else 0)
+
+    def n_chunks(runs):
+        return sum(len(ids) for _, ids in runs)
+
+    keys = sorted(runs_by_class)
+    weights = {k: n_chunks(runs_by_class[k]) for k in keys}
+    widths = sorted({w for w, _ in keys})
+    gcs = sorted({gc for _, gc in keys})
+    top = (widths[-1], max(gcs))
+    cands = sorted(
+        {
+            (w, gc)
+            for w in widths
+            for gc in gcs
+            if any(w >= kw and (gc or not kgc) for kw, kgc in keys)
+        }
+    )
+
+    def admissible(bin_key, cls_key):
+        return bin_key[0] >= cls_key[0] and (bin_key[1] or not cls_key[1])
+
+    best = None
+    n_bins = min(max_classes, len(cands))
+    for subset in itertools.combinations(cands, n_bins):
+        if top not in subset:
+            continue  # the top key is the only guaranteed cover-all
+        cost = 0
+        for k in keys:
+            fits = [rows(b) for b in subset if admissible(b, k)]
+            if not fits:
+                cost = None
+                break
+            cost += weights[k] * min(fits)
+        if cost is None:
+            continue
+        cand = (cost, subset)
+        if best is None or cand < best:
+            best = cand
+    _, bins = best
+
+    merged: dict = {}
+    for k in keys:
+        bk = min(
+            (b for b in bins if admissible(b, k)), key=lambda b: (rows(b), b)
+        )
+        clamp = max(c_pad - bk[0], 0)
+        merged.setdefault(bk, []).extend(
+            (min(b, clamp), ids) for b, ids in runs_by_class[k]
+        )
+    return merged
+
+
 def _choose_cap(run_lengths, max_waste: float = 0.125, min_groups: int = 1) -> int:
     """Group-size cap (in micro-chunks): fewest groups within a padding cap.
 
@@ -230,7 +323,7 @@ def wtt_from_flat(
     onehot_dtype=None,
     reorder_cameras: str = "auto",
     defer_onehot: bool = False,
-    split_windows: bool = False,
+    split_windows: bool | int = False,
 ) -> BAWTTProblem:
     """Repack a flat BAProblem into the windowed track-table layout.
 
@@ -267,7 +360,12 @@ def wtt_from_flat(
     (batched-matmul throughput decays with many small batches), hence
     opt-in.  All-padding chunks are dropped outright.  Values are
     step-equivalent to the unsplit packing (same contributions, different
-    f32 summation order).
+    f32 summation order).  ``True`` caps the classes per bucket at
+    ``_SPLIT_MAX_CLASSES`` (each class is a separate bucket = a separate
+    set of Pallas kernel variants to compile; the uncapped hub split's 23
+    classes cost a 112 s BAL compile+first vs 26 s unsplit) by merging
+    classes into exact covering bins; pass an ``int`` to choose the cap
+    yourself (a large value ~= uncapped).
 
     ``reorder_cameras`` controls the window-locality relabeling
     (problems/reorder.py — RCM on the co-visibility graph): ``"auto"``
@@ -455,6 +553,12 @@ def wtt_from_flat(
                         (cur_key[0], cur_ids)
                     )
                 cur_key, cur_ids = (k, [gi]) if k is not False else (None, [])
+
+            max_cls = _split_class_cap(split_windows)
+            if max_cls and len(runs_by_class) > max_cls:
+                runs_by_class = _coalesce_window_classes(
+                    runs_by_class, max_cls, n_gt, c_pad
+                )
 
             for (wcls, has_gc) in sorted(runs_by_class):
                 runs = runs_by_class[(wcls, has_gc)]
