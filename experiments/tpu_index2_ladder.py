@@ -6,7 +6,10 @@ should cut ~9 ms/LM-iter out of the 8-CG block plus a slice of the
 linearize.  Measures wall at maxiter 3 and 12 (marginal rate =
 (w12 - w3)/9, dispatch-free) and the 12-iter loss for basin sanity.
 
-Run: cd /root/repo && python experiments/tpu_index2_ladder.py
+Run: cd /root/repo && python experiments/tpu_index2_ladder.py [--split]
+
+--split packs with micro-chunk window classes (round 4c's production
+default) so the ladder's numbers match the shipped configuration.
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ def main() -> None:
     # All ladder configs are fully indexed: the dense one-hot is never
     # read, so the problem stays DEFERRED (wcam only) — also proves the
     # deferred path at BAL scale on the real TPU.
-    problem = commit(bal_sequential_wtt())
+    split = "--split" in sys.argv
+    print("split_windows:", split, flush=True)
+    problem = commit(bal_sequential_wtt(split_windows=split))
     jax.device_get(problem.buckets[0].uv[0, 0, 0, 0])
 
     base = BAConfig(
