@@ -43,38 +43,81 @@ CPU_PIN_RECORDED = "2026-08-17"
 CPU_PIN_HOST_STATE = "idle host, fastest of repeated runs"
 
 
-def _tpu_alive(timeout_s: float = 900.0) -> bool:
-    """Probe the TPU in a subprocess (the tunnel can wedge such that any
-    jax op hangs forever; a hung probe must not take bench.py down).
+# The probe body: a trivial jax op whose output proves a live device.
+# Module-level so the probe tests can substitute a jax-free stand-in
+# (the real one would claim the actual TPU from inside the test suite).
+_PROBE_SRC = "import jax, jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"
+
+
+def _probe_once(timeout_s: float) -> tuple:
+    """One TPU probe attempt in a fresh subprocess; (ok, waited_s).
 
     CRITICAL: never kill the probe — killing a process mid-TPU-claim is
     itself what wedges the tunnel for the next claimer.  If the probe
     doesn't finish in time we abandon it (it keeps running and exits
-    cleanly whenever the device frees up) and fall back to CPU.
-
-    The timeout is generous because device CLAIMS take 2-5 minutes when any
-    process used the TPU recently (measured: 127s / 292s for a trivial op
-    right after a previous user exited) — the probe doubles as the
-    wait-for-claim.
+    cleanly whenever the device frees up).
     """
     import subprocess
     import sys
     import time
 
+    t0 = time.monotonic()
     proc = subprocess.Popen(
-        [sys.executable, "-c",
-         "import jax, jax.numpy as jnp; print(float(jnp.arange(4.0).sum()))"],
+        [sys.executable, "-c", _PROBE_SRC],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
     )
-    deadline = time.monotonic() + timeout_s
+    deadline = t0 + timeout_s
     while time.monotonic() < deadline:
         rc = proc.poll()
         if rc is not None:
             out = proc.stdout.read() if proc.stdout else b""
-            return rc == 0 and b"6.0" in out
+            return rc == 0 and b"6.0" in out, time.monotonic() - t0
         time.sleep(2.0)
-    return False  # abandoned, NOT killed
+    return False, time.monotonic() - t0  # abandoned, NOT killed
+
+
+def _tpu_alive(attempts: int | None = None,
+               timeout_s: float | None = None) -> dict:
+    """Probe the TPU with N sequential fresh-subprocess attempts.
+
+    The round-4 driver artifact recorded a CPU fallback because ONE probe
+    happened to straddle an unavailable-TPU window (BENCH_r04.json:
+    tpu_probe_failed) — a single-shot probe makes the headline artifact a
+    coin flip on tunnel health.  Retries matter because the failure modes
+    are transient and per-process: device CLAIMS take 2-5 minutes when any
+    process used the chip recently (measured 127 s / 292 s), and a wedged
+    tunnel hangs the PROCESS that hit it, not necessarily the next fresh
+    claimer.  Each attempt is a new subprocess; timed-out probes are
+    abandoned, never killed (see _probe_once).
+
+    Budget is env-tunable: TPU3DRECON_BENCH_PROBE_ATTEMPTS (default 3) x
+    TPU3DRECON_BENCH_PROBE_TIMEOUT_S (default 600 each).  Returns
+    {"ok", "attempts", "wait_s"} so callers can record probe provenance
+    in the benchmark JSON.
+    """
+    import os
+
+    if attempts is None:
+        attempts = int(os.environ.get("TPU3DRECON_BENCH_PROBE_ATTEMPTS", "3"))
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("TPU3DRECON_BENCH_PROBE_TIMEOUT_S", "600")
+        )
+    waited = 0.0
+    for i in range(1, max(attempts, 1) + 1):
+        ok, w = _probe_once(timeout_s)
+        waited += w
+        if ok:
+            return {"ok": True, "attempts": i, "wait_s": round(waited, 1)}
+        print(
+            f"bench: TPU probe attempt {i}/{attempts} failed after "
+            f"{w:.0f}s (abandoned, not killed); "
+            + ("retrying with a fresh claim..." if i < attempts
+               else "falling back to CPU."),
+            file=sys.stderr,
+        )
+    return {"ok": False, "attempts": attempts, "wait_s": round(waited, 1)}
 
 
 def emit_headline(force_cpu: bool = False, cg: int | None = None,
@@ -85,9 +128,20 @@ def emit_headline(force_cpu: bool = False, cg: int | None = None,
     from tpu3drecon.utils.compile_cache import cache_entry_count, enable_compilation_cache
 
     tpu_fell_back = False
-    if not force_cpu and probe and not _tpu_alive():
-        tpu_fell_back = True
-        force_cpu = True
+    probe_info = None
+    if not force_cpu and probe:
+        probe_info = _tpu_alive()
+        if not probe_info["ok"]:
+            tpu_fell_back = True
+            force_cpu = True
+            print(
+                "bench: FALLING BACK TO CPU — the TPU never answered "
+                f"{probe_info['attempts']} probe attempts over "
+                f"{probe_info['wait_s']:.0f}s (tunnel wedged or device "
+                "claimed elsewhere).  The emitted number is the CPU "
+                "baseline, NOT a TPU measurement.",
+                file=sys.stderr,
+            )
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
     cache_entries_before = cache_entry_count()
@@ -268,6 +322,8 @@ def emit_headline(force_cpu: bool = False, cg: int | None = None,
             "cpu_pin_recorded": CPU_PIN_RECORDED,
             "cpu_pin_host_state": CPU_PIN_HOST_STATE,
             "tpu_probe_failed": tpu_fell_back,
+            "probe_attempts": probe_info["attempts"] if probe_info else 0,
+            "probe_wait_s": probe_info["wait_s"] if probe_info else 0.0,
             # compile_s <= ~5s together with warm_aot_cache=True demonstrates
             # the persistent AOT executable cache (utils/aot_cache.py; cold
             # process pays the full XLA compile once per config+shape).
@@ -310,7 +366,7 @@ if __name__ == "__main__":
     if args.suite:
         import jax
 
-        if args.cpu or not _tpu_alive():
+        if args.cpu or not _tpu_alive()["ok"]:
             jax.config.update("jax_platforms", "cpu")
         from tpu3drecon.benchmark.suite import run_suite
 

@@ -60,6 +60,8 @@ _SLOW_NODE_PATTERNS = (
     "test_aot_cache.py::test_aot_wrap_solver",
     "test_reorder.py::TestHubSplit::test_band_precond_rejected_with_hub_tiles",
     "test_reorder.py::TestHubSplit::test_split_windows_matches_on_hub",
+    "test_reorder.py::TestHubSplit::test_capped_hub_fully_indexed_deferred",
+    "test_reorder.py::TestHubSplit::test_global_tile_hulls",
     "test_ba_wtt.py::TestSplitWindows::test_solve_equality",
     "test_ba_wtt.py::TestSplitWindows::test_fully_indexed_deferred",
     "test_ba_wtt.py::TestSplitWindows::test_chunk_multiple_padding",
@@ -117,6 +119,48 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.fast)
+
+
+# Fast-tier wall budget (seconds).  CLAUDE.md hard budget is <=8 min on a
+# loaded host; the tier drifted over it three rounds in a row with only
+# manual re-measurement catching it, so the suite now self-reports and
+# warns mechanically (round-5 verdict item 8).  Override:
+# TPU3DRECON_FAST_BUDGET_S.
+_FAST_BUDGET_S = float(os.environ.get("TPU3DRECON_FAST_BUDGET_S", "480"))
+_session_t0 = None
+
+
+def pytest_sessionstart(session):
+    global _session_t0
+    import time
+
+    _session_t0 = time.monotonic()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Emit the fast-tier wall time and warn loudly over budget.
+
+    Warn rather than fail: the budget is defined on a loaded shared host
+    and wall time varies ~2x with co-tenants — a hard fail would be
+    flaky.  The warning names the re-trim procedure so drift gets acted
+    on instead of scrolling by.
+    """
+    if "fast" not in (config.getoption("-m") or ""):
+        return
+    if _session_t0 is None:
+        return
+    import time
+
+    wall = time.monotonic() - _session_t0
+    tr = terminalreporter
+    tr.write_sep("-", f"fast tier wall: {wall:.0f}s (budget {_FAST_BUDGET_S:.0f}s)")
+    if wall > _FAST_BUDGET_S:
+        tr.write_line(
+            f"FAST TIER OVER BUDGET: {wall:.0f}s > {_FAST_BUDGET_S:.0f}s. "
+            "Re-measure with --durations=40 and move the top offenders "
+            "into conftest._SLOW_NODE_PATTERNS (CLAUDE.md budget rule).",
+            red=True, bold=True,
+        )
 
 
 @pytest.fixture
