@@ -46,6 +46,92 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _reduce_dot(oh_bf, data, acc_t, terms):
+    """(W, K) += one-hot^T-reduction of (K, nb) data tiles.
+
+    ``terms=0``: one HIGHEST-precision dot (6 MXU passes, no VPU split
+    chain) — exact like terms=3; which wins depends on whether the kernel
+    is MXU- or VPU-bound.  terms>=1: that many bf16 split terms — every
+    partial product bf16_term x {0,1} is exact, so terms=3 reconstructs
+    the f32 value exactly while paying DEFAULT-precision MXU passes."""
+    dims = (((1,), (1,)), ((), ()))
+    if acc_t == jnp.float64 or terms == 0:
+        return jax.lax.dot_general(
+            oh_bf.astype(acc_t), data,
+            dimension_numbers=dims,
+            preferred_element_type=acc_t,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    acc = None
+    rem = data
+    for _ in range(terms):
+        h = rem.astype(jnp.bfloat16)
+        rem = rem - h.astype(acc_t)
+        part = jax.lax.dot_general(
+            oh_bf, h,
+            dimension_numbers=dims,
+            preferred_element_type=acc_t,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _select_dot(data, oh_bf, acc_t, terms):
+    """(D, nb) selection of (D, W) table rows through a (W, nb) one-hot —
+    exact at terms=3 (f32) / one HIGHEST dot (f64)."""
+    dims = (((1,), (0,)), ((), ()))
+    if acc_t == jnp.float64:
+        return jax.lax.dot_general(
+            data, oh_bf.astype(acc_t), dimension_numbers=dims,
+            preferred_element_type=acc_t,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    acc = None
+    rem = data
+    for _ in range(terms):
+        h = rem.astype(jnp.bfloat16)
+        rem = rem - h.astype(acc_t)
+        part = jax.lax.dot_general(
+            h, oh_bf, dimension_numbers=dims,
+            preferred_element_type=acc_t,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+_SYM_IDX = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+
+
+def _contrib_parts(jc0, jc1, r0, r1, jp0, jp1, v, np_cam, use_sj):
+    """Per-slot contribution planes in the ba_tt._triu_pairs diagonal-major
+    order: u pairs | gradient [| Schur-Jacobi coupling].  Shared by the
+    ref-reading contribution kernel and the fully-fused linearize kernel —
+    one source of truth for the in-VMEM contribution math.  Returns
+    (parts list, w_l, wv_l); the W/WV factor tiles feed the band
+    S_{c,c+1} pair rows when ``want_od``."""
+    parts = [
+        jc0[: np_cam - d] * jc0[d:] + jc1[: np_cam - d] * jc1[d:]
+        for d in range(np_cam)
+    ]
+    parts.append(jc0 * r0[None] + jc1 * r1[None])
+    w_l = wv_l = None
+    if use_sj:
+        w_l = [jc0 * jp0[l][None] + jc1 * jp1[l][None] for l in range(3)]
+        wv_l = [
+            w_l[0] * v[_SYM_IDX[0][l]][None]
+            + w_l[1] * v[_SYM_IDX[1][l]][None]
+            + w_l[2] * v[_SYM_IDX[2][l]][None]
+            for l in range(3)
+        ]
+        parts.extend(
+            sum(wv_l[l][: np_cam - d] * w_l[l][d:] for l in range(3))
+            for d in range(np_cam)
+        )
+    return parts, w_l, wv_l
+
+
 def _contrib_kernel(
     wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
     jc_ref,  # (2*np, 1, Tb, NB)
@@ -66,37 +152,12 @@ def _contrib_kernel(
     nb = wcam_ref.shape[2]
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
 
+    # The contribution operand is ~99 planes wide, so the 2-op-per-plane
+    # split chain in _reduce_dot is real VPU work here (unlike the 9-plane
+    # matvec operands) — hence the terms=0 HIGHEST option.
     def split_dot(oh_bf, data):
-        """(W, K) += one-hot^T-reduction of (K, nb) f32 data tiles.
+        return _reduce_dot(oh_bf, data, acc_t, terms)
 
-        ``terms=0``: one HIGHEST-precision dot (6 MXU passes, no VPU
-        split chain) — exact like terms=3; which wins depends on whether
-        the kernel is MXU- or VPU-bound (the contribution operand is
-        ~99 planes wide, so the 2-op-per-plane split chain is real VPU
-        work here, unlike the 9-plane matvec operands)."""
-        dims = (((1,), (1,)), ((), ()))
-        if acc_t == jnp.float64 or terms == 0:
-            return jax.lax.dot_general(
-                oh_bf.astype(acc_t), data,
-                dimension_numbers=dims,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        acc = None
-        rem = data
-        for _ in range(terms):
-            h = rem.astype(jnp.bfloat16)
-            rem = rem - h.astype(acc_t)
-            part = jax.lax.dot_general(
-                oh_bf, h,
-                dimension_numbers=dims,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            acc = part if acc is None else acc + part
-        return acc
-
-    sym_idx = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
     acc = None
     acc_od = None
     prev_wv = prev_idx = None
@@ -108,32 +169,14 @@ def _contrib_kernel(
         jc1 = jc_ref[np_cam:, 0, t, :]
         r0 = r_ref[0, 0, t, :]  # (NB,)
         r1 = r_ref[1, 0, t, :]
+        jp0 = jp_ref[:3, 0, t, :] if use_sj else None  # (3, NB)
+        jp1 = jp_ref[3:, 0, t, :] if use_sj else None
+        v = vinv_ref[0] if use_sj else None  # (6, NB)
         # Diagonal-major u pairs + gradient columns (matches
         # ba_tt._triu_pairs order, asserted in the wrapper).
-        parts = [
-            jc0[: np_cam - d] * jc0[d:] + jc1[: np_cam - d] * jc1[d:]
-            for d in range(np_cam)
-        ]
-        parts.append(jc0 * r0[None] + jc1 * r1[None])
-        if use_sj:
-            jp0 = jp_ref[:3, 0, t, :]  # (3, NB)
-            jp1 = jp_ref[3:, 0, t, :]
-            v = vinv_ref[0]  # (6, NB)
-            w_l = [
-                jc0 * jp0[l][None] + jc1 * jp1[l][None] for l in range(3)
-            ]  # 3 x (np, NB)
-            wv_l = [
-                w_l[0] * v[sym_idx[0][l]][None]
-                + w_l[1] * v[sym_idx[1][l]][None]
-                + w_l[2] * v[sym_idx[2][l]][None]
-                for l in range(3)
-            ]
-            parts.extend(
-                sum(
-                    wv_l[l][: np_cam - d] * w_l[l][d:] for l in range(3)
-                )
-                for d in range(np_cam)
-            )
+        parts, w_l, wv_l = _contrib_parts(
+            jc0, jc1, r0, r1, jp0, jp1, v, np_cam, use_sj
+        )
         contrib = jnp.concatenate(parts, axis=0)  # (K, NB)
         part = split_dot(oh, contrib)  # (W, K)
         acc = part if acc is None else acc + part
@@ -196,26 +239,7 @@ def _cam_planes_kernel(
     for t in range(tb):
         idx = wcam_ref[0, t, :]
         oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)  # (W, NB)
-        dims = (((1,), (0,)), ((), ()))
-        if acc_t == jnp.float64:
-            cp = jax.lax.dot_general(
-                tw_t, oh.astype(acc_t), dimension_numbers=dims,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        else:
-            cp = None
-            rem = tw_t
-            for _ in range(terms):
-                h = rem.astype(jnp.bfloat16)
-                rem = rem - h.astype(acc_t)
-                part = jax.lax.dot_general(
-                    h, oh, dimension_numbers=dims,
-                    preferred_element_type=acc_t,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-                cp = part if cp is None else cp + part
-        out_ref[0, :, t, :] = cp
+        out_ref[0, :, t, :] = _select_dot(tw_t, oh, acc_t, terms)
 
 
 @functools.partial(
@@ -363,3 +387,285 @@ def wtt_contrib_rows_idx(
         jnp.transpose(v_inv, (1, 0, 2)),  # (G, 6, Pc)
     )
     return rows
+
+
+def _lin_fused_kernel(
+    scal_ref,  # (1, 2) SMEM: [lam, inv_w]
+    wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
+    tw_ref,  # (1, D, W) transposed camera-table window rows
+    pts_ref,  # (3, 1, NB) point coordinates
+    uv_ref,  # (1, 2, tb, NB) observations
+    mask_ref,  # (1, tb, NB)
+    rows_ref,  # (1, W, K) contribution rows, accumulated over j
+    jc_ref,  # (2*np, 1, tb, NB) camera-Jacobian planes (out)
+    jp_ref,  # (6, 1, tb, NB) point-Jacobian planes (out)
+    vinv_ref,  # (6, 1, NB) damped point-normal inverse (out)
+    gpt_ref,  # (3, 1, NB) point gradient (out)
+    damp_ref,  # (3, 1, NB) point damping diagonal (out)
+    *,
+    blocks_config,
+    np_cam: int,
+    tb: int,
+    window: int,
+    use_sj: bool,
+    want_od: bool,
+    terms: int,
+):
+    """The WHOLE linearization of one (group, point-block) in VMEM.
+
+    Fuses what used to be four HBM round-trips (round-5 verdict item 2):
+    camera-plane selection (wtt_cam_planes_idx), the _tt_blocks
+    residual/Jacobian planes (XLA elementwise over HBM), the point-side
+    normal (v6/g_pt/v_inv — XLA reductions over HBM), and the contribution
+    reduction (_contrib_kernel reading jc/jp/r back from HBM).  jc/jp are
+    still WRITTEN once (the CG matvec/rhs/backsub kernels stream them every
+    iteration) but are never re-read here, and cp/r never exist in HBM at
+    all.
+
+    A point's entire track (the Tb axis) lives inside one (g, j) block, so
+    the per-point normal v6 -> v_inv is computable locally; contribution
+    rows accumulate across j exactly like _contrib_kernel.  The Jacobian
+    math is ba_tt._tt_blocks itself (imported lazily — it is pure
+    elementwise jnp, and scatter-free since round 5), so the formulas
+    cannot drift from the XLA engines'.
+    """
+    from tpu3drecon.solvers.ba_tt import _sym3_inv_planes, _tt_blocks
+
+    j = pl.program_id(1)
+    acc_t = tw_ref.dtype
+    nb = wcam_ref.shape[2]
+    lam = scal_ref[0, 0]
+    inv_w = scal_ref[0, 1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (window, nb), 0)
+    tw_t = tw_ref[0]  # (D, W)
+
+    # --- selection: per-slot camera-parameter planes (D, tb, NB).
+    # ALWAYS exact (terms=3 split / HIGHEST f64): cp defines the Jacobians
+    # and residuals themselves — the measured fidelity trap (RESULTS.md
+    # round 4b) applies to everything except the CG operator.
+    idxs = []
+    cps = []
+    for t in range(tb):
+        idx = wcam_ref[0, t, :]
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)
+        idxs.append(idx)
+        cps.append(_select_dot(tw_t, oh, acc_t, 3))
+    cp = jnp.stack(cps, axis=1)  # (D, tb, NB)
+
+    # --- residual/Jacobian planes (identical formulas to the XLA path).
+    blocks = _tt_blocks(
+        cp, pts_ref[:, 0, :], uv_ref[0], mask_ref[0], inv_w, blocks_config
+    )
+    jc, jp, r = blocks.jc, blocks.jp, blocks.r  # (k, tb, NB)
+    jc_ref[:, 0] = jc
+    jp_ref[:, 0] = jp
+
+    # --- point-side normal (dense over the in-block track axis).
+    v6 = jnp.stack(
+        [
+            jnp.sum(jp[i] * jp[jj] + jp[3 + i] * jp[3 + jj], axis=0)
+            for (i, jj) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        ]
+    )  # (6, NB)
+    g_pt = jnp.stack(
+        [jnp.sum(jp[i] * r[0] + jp[3 + i] * r[1], axis=0) for i in range(3)]
+    )
+    damp = jnp.stack(
+        [
+            lam * jnp.clip(v6[0], 1e-8, None),
+            lam * jnp.clip(v6[3], 1e-8, None),
+            lam * jnp.clip(v6[5], 1e-8, None),
+        ]
+    )
+    v6_d = jnp.stack(
+        [v6[0] + damp[0], v6[1], v6[2], v6[3] + damp[1], v6[4], v6[5] + damp[2]]
+    )
+    v_inv = _sym3_inv_planes(v6_d)  # (6, NB)
+    vinv_ref[:, 0] = v_inv
+    gpt_ref[:, 0] = g_pt
+    damp_ref[:, 0] = damp
+
+    # --- contribution rows (same math/order as _contrib_kernel).
+    acc = None
+    acc_od = None
+    prev_wv = prev_idx = None
+    for t in range(tb):
+        idx = idxs[t]
+        oh = (w_iota == idx[None, :]).astype(jnp.bfloat16)
+        jc0 = jc[:np_cam, t, :]
+        jc1 = jc[np_cam:, t, :]
+        parts, w_l, wv_l = _contrib_parts(
+            jc0, jc1, r[0, t, :], r[1, t, :],
+            jp[:3, t, :] if use_sj else None,
+            jp[3:, t, :] if use_sj else None,
+            v_inv if use_sj else None,
+            np_cam, use_sj,
+        )
+        contrib = jnp.concatenate(parts, axis=0)  # (K, NB)
+        part = _reduce_dot(oh, contrib, acc_t, terms)
+        acc = part if acc is None else acc + part
+        if want_od:
+            if prev_wv is not None:
+                pair = (
+                    (w_iota == prev_idx[None, :])
+                    & (w_iota + 1 == idx[None, :])
+                ).astype(jnp.bfloat16)
+                od = jnp.concatenate(
+                    [
+                        prev_wv[0][i][None] * w_l[0]
+                        + prev_wv[1][i][None] * w_l[1]
+                        + prev_wv[2][i][None] * w_l[2]
+                        for i in range(np_cam)
+                    ],
+                    axis=0,
+                )  # (np*np, NB), i-major
+                od_part = _reduce_dot(pair, od, acc_t, terms)
+                acc_od = od_part if acc_od is None else acc_od + od_part
+            prev_wv, prev_idx = wv_l, idx
+    if want_od:
+        if acc_od is None:  # tb == 1: no adjacent pairs
+            acc_od = jnp.zeros((window, np_cam * np_cam), acc.dtype)
+        acc = jnp.concatenate([acc, acc_od], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        rows_ref[0] = acc
+
+    @pl.when(j != 0)
+    def _():
+        rows_ref[0] = rows_ref[0] + acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_config", "np_cam", "tb", "pc", "window",
+                     "use_sj", "want_od", "terms", "interpret"),
+)
+def wtt_linearize_fused_idx(
+    wcam: jax.Array,  # (G, Tb*Pc) integer window index per slot (-1 = pad)
+    tw: jax.Array,  # (G, W, D) camera-table window rows
+    pts: jax.Array,  # (3, G, Pc)
+    uv: jax.Array,  # (G, 2, Tb, Pc)
+    mask: jax.Array,  # (G, Tb, Pc)
+    lam: jax.Array,  # () trust-region damping
+    inv_w: jax.Array,  # () residual whitening scale
+    blocks_config,  # static-field-only BAConfig for _tt_blocks
+    np_cam: int,
+    tb: int,
+    pc: int,
+    window: int,
+    use_sj: bool,
+    want_od: bool = False,
+    terms: int = 3,
+    interpret: bool = False,
+):
+    """Fully-fused linearization: (rows, jc, jp, v_inv, g_pt, damp_pt).
+
+    rows is (G, W, K) in the wtt_contrib_rows_idx column layout
+    (u | g [| coupling] [| od]); jc (2np, G, Tb, Pc) / jp (6, G, Tb, Pc)
+    feed the CG matvec kernels; v_inv/g_pt/damp_pt are the (·, G, Pc)
+    point factors.  One kernel pass replaces wtt_cam_planes_idx +
+    the XLA _tt_blocks map + the XLA point-normal reductions +
+    wtt_contrib_rows_idx."""
+    if want_od and not use_sj:
+        raise ValueError("want_od requires use_sj (od reuses the W/WV tiles)")
+    g = wcam.shape[0]
+    w = window
+    d = tw.shape[2]
+    dtype = tw.dtype
+    n_triu = np_cam * (np_cam + 1) // 2
+    k = (
+        n_triu
+        + np_cam
+        + (n_triu if use_sj else 0)
+        + (np_cam * np_cam if want_od else 0)
+    )
+    if not interpret and pc % 128 != 0:
+        raise ValueError(
+            f"wtt fused linearize kernel needs point-chunk padding divisible "
+            f"by 128 on TPU (got Pc={pc}); repack with point_chunk>=128"
+        )
+    itemsize = jnp.dtype(dtype).itemsize
+    # VMEM budget: double-buffered input/output blocks + per-track-row
+    # retained tiles (Mosaic's stack allocator keeps every unrolled
+    # iteration's tiles alive).  Adds the cp selection planes, the
+    # _tt_blocks temporaries (~40 planes live at the widest point), and
+    # the jc/jp output blocks to the contribution kernel's accounting.
+    per_nb = (
+        2 * (4 * tb + itemsize * (3 + 3 * tb) + 4)  # in: wcam/pts/uv/mask
+        + itemsize * (2 * np_cam * tb + 6 * tb + 12)  # out: jc/jp/vinv/gpt/damp
+        + tb * (
+            2 * 2 * w  # one-hot tiles, both passes
+            + d * itemsize  # cp planes
+            + (itemsize + 2 * 2) * k  # contribution concat + bf16 splits
+            + 40 * itemsize  # _tt_blocks temporaries
+            + 8 * itemsize * np_cam  # w_l/wv_l factor tiles
+        )
+        + (tb * 2 * w if want_od else 0)  # retained pair one-hot tiles
+    )
+    fixed = 2 * d * w * itemsize + w * k * itemsize  # tw double-buf + rows
+    nb_budget = max(
+        128, int((10_000_000 - fixed) // max(per_nb, 1)) // 128 * 128
+    )
+    nb = next(
+        (kk for kk in range(min(896, nb_budget, pc), 127, -128)
+         if pc % kk == 0 and kk % 128 == 0),
+        pc,
+    )
+    jb = pc // nb
+
+    kernel = functools.partial(
+        _lin_fused_kernel, blocks_config=blocks_config, np_cam=np_cam,
+        tb=tb, window=w, use_sj=use_sj, want_od=want_od, terms=terms,
+    )
+    scal = jnp.stack([lam.astype(dtype), inv_w.astype(dtype)]).reshape(1, 2)
+    out_shapes = (
+        jax.ShapeDtypeStruct((g, w, k), dtype),  # rows
+        jax.ShapeDtypeStruct((2 * np_cam, g, tb, pc), dtype),  # jc
+        jax.ShapeDtypeStruct((6, g, tb, pc), dtype),  # jp
+        jax.ShapeDtypeStruct((6, g, pc), dtype),  # v_inv
+        jax.ShapeDtypeStruct((3, g, pc), dtype),  # g_pt
+        jax.ShapeDtypeStruct((3, g, pc), dtype),  # damp_pt
+    )
+    out_specs = (
+        pl.BlockSpec((1, w, k), lambda gg, j: (gg, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * np_cam, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, 1, nb), lambda gg, j: (0, gg, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g, jb),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda gg, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, w), lambda gg, j: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tb, nb), lambda gg, j: (gg, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, nb), lambda gg, j: (gg, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        scal,
+        wcam.reshape(g, tb, pc).astype(jnp.int32),
+        jnp.transpose(tw, (0, 2, 1)),  # (G, D, W)
+        pts,
+        uv,
+        mask,
+    )

@@ -198,12 +198,19 @@ def _tt_blocks(
         a21 * cp[2] + a22 * cp[5] + a23 * cp[8],
     ]
 
+    if not config.optimize_focal:
+        # Zero the focal columns BEFORE the stack (0 * finite scale == 0,
+        # value-identical to the former post-stack .at[].set) — keeps the
+        # whole function scatter-free so it can run inside Pallas kernels
+        # (ops/pallas/wtt_linearize._lin_fused_kernel) unchanged.
+        jc_rows[6] = zero
+        jc_rows[7] = zero
+        np_cam = len(jc_row0)
+        jc_rows[np_cam + 6] = zero
+        jc_rows[np_cam + 7] = zero
     jc = jnp.stack(jc_rows) * scale[None]
     jp = jnp.stack(jp_rows) * scale[None]
     r = jnp.stack([r0, r1]) * scale[None]
-    if not config.optimize_focal:
-        np_cam = len(jc_row0)
-        jc = jc.at[jnp.asarray([6, 7, np_cam + 6, np_cam + 7])].set(0.0)
     if not config.optimize_points:
         jp = jp * 0.0
     return TTBlocks(r=r, jc=jc, jp=jp)

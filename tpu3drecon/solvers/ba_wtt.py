@@ -363,29 +363,60 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     coup_cols = jnp.zeros((c_pad, n_triu), dtype)
     e_cols = jnp.zeros((c_pad, np_cam * np_cam), dtype)
     bucket_normals = []
+    blocks_config = BAConfig(
+        loss=config.loss,
+        optimize_focal=config.optimize_focal,
+        optimize_points=config.optimize_points,
+        optimize_dist=config.optimize_dist,
+        optimize_pp=config.optimize_pp,
+    )  # static-field-only key for the fused kernel's _tt_blocks
     for bucket, pts in zip(problem.buckets, pts_list):
+        want_od = config.precond in ("tridiag", "ssor")
+        g_b, _, tb_b, pc_b = bucket.uv.shape
+        n_b = tb_b * pc_b
         if config.linearize_kernel in ("index", "index2"):
-            # Index cam-plane expansion (ops/pallas/wtt_linearize.py):
-            # in-VMEM one-hot rebuild + exact split-dot selection instead
-            # of the ~1 GB dense one-hot einsum.  With the contribution
-            # kernel below this makes the linearization (and, with the
-            # index matvec, the whole solve) one-hot-free.
+            # FULLY-fused linearization (ops/pallas/wtt_linearize.py,
+            # round-5 verdict item 2): camera-plane selection, the
+            # _tt_blocks Jacobian/residual planes, the point-side normal
+            # (v6/g_pt/v_inv) and the contribution reduction all happen
+            # inside one Pallas kernel — cp and r never exist in HBM, and
+            # jc/jp are written once for the CG kernels but never re-read
+            # here.  Band preconditioners ride the same pass (the kernel
+            # emits the S_{c,c+1} adjacent-pair rows from in-VMEM pair
+            # one-hots).  The previous kernel pair (wtt_cam_planes_idx +
+            # wtt_contrib_rows_idx) round-tripped cp (19 planes) and
+            # jc/jp/r (24 planes) through HBM between XLA elementwise maps.
             from tpu3drecon.ops.pallas.wtt_linearize import (
-                wtt_cam_planes_idx,
+                wtt_linearize_fused_idx,
             )
 
-            _, _, tb0, pc0 = bucket.uv.shape
-            tw0 = _window_rows(table_pad, _window_idx(bucket))
-            # terms=3 always: cp defines the Jacobians and residuals
-            # themselves — reduced fidelity here degrades convergence
-            # (unlike the CG operator, which tolerates index2/index1).
-            cp = wtt_cam_planes_idx(
-                bucket.wcam, tw0, tb0, pc0, int(bucket.window),
-                terms=3,
+            widx = _window_idx(bucket)
+            tw0 = _window_rows(table_pad, widx)
+            rows, jc, jp, v_inv, g_pt, damp_pt = wtt_linearize_fused_idx(
+                bucket.wcam, tw0, pts, bucket.uv, bucket.mask, lam, inv_w,
+                blocks_config, np_cam, tb_b, pc_b, int(bucket.window),
+                use_sj, want_od,
+                terms=2 if config.linearize_kernel == "index2" else 3,
                 interpret=jax.default_backend() != "tpu",
             )
-        else:
-            cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
+            reduced = _scatter_rows(rows, widx, c_pad)
+            u_cols = u_cols + reduced[:, :n_triu]
+            g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
+            if use_sj:
+                coup_cols = coup_cols + reduced[
+                    :, n_triu + np_cam : 2 * n_triu + np_cam
+                ]
+            if want_od:
+                e_cols = e_cols + reduced[:, 2 * n_triu + np_cam :]
+            if config.matvec_bf16:
+                jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
+            bucket_normals.append(
+                WTTBucketNormal(
+                    jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt
+                )
+            )
+            continue
+        cp = _cam_planes_w(table_pad, bucket)  # (G, D, Tb, Pc)
         blocks = jax.vmap(
             lambda c, p, u, m: _tt_blocks(c, p, u, m, inv_w, config),
             in_axes=(0, 1, 0, 0),
@@ -415,45 +446,6 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
         # per-plane unrolled form compiled for ~350 s.  Chunks are
         # independent slices of G, so values are bit-identical to the
         # unchunked computation.
-        want_od = config.precond in ("tridiag", "ssor")
-        g_b, _, tb_b, pc_b = bucket.uv.shape
-        n_b = tb_b * pc_b
-        if config.linearize_kernel in ("index", "index2"):
-            # Fused Pallas contribution+reduction (index one-hot, exact
-            # split dots): no plane transients, no chunking needed — the
-            # XLA path below materializes ~8-9 GB of contribution planes
-            # per LM iteration (ops/pallas/wtt_linearize.py).  Band
-            # preconditioners ride the same pass: the kernel emits the
-            # S_{c,c+1} adjacent-pair rows (``want_od``) from in-VMEM
-            # pair one-hots.
-            from tpu3drecon.ops.pallas.wtt_linearize import (
-                wtt_contrib_rows_idx,
-            )
-
-            widx = _window_idx(bucket)
-            rows = wtt_contrib_rows_idx(
-                bucket.wcam, jc, jp, r, v_inv, np_cam, tb_b, pc_b,
-                int(bucket.window), use_sj, want_od,
-                terms=2 if config.linearize_kernel == "index2" else 3,
-                interpret=jax.default_backend() != "tpu",
-            )
-            reduced = _scatter_rows(rows, widx, c_pad)
-            u_cols = u_cols + reduced[:, :n_triu]
-            g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
-            if use_sj:
-                coup_cols = coup_cols + reduced[
-                    :, n_triu + np_cam : 2 * n_triu + np_cam
-                ]
-            if want_od:
-                e_cols = e_cols + reduced[:, 2 * n_triu + np_cam :]
-            if config.matvec_bf16:
-                jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
-            bucket_normals.append(
-                WTTBucketNormal(
-                    jc=jc, jp=jp, v_inv=v_inv, g_pt=g_pt, damp_pt=damp_pt
-                )
-            )
-            continue
         gc = _contrib_g_chunk(bucket, np_cam, use_sj, want_od, problem)
         row_parts = []
         erow_parts = []
