@@ -38,7 +38,16 @@ def main() -> None:
     from tpu3drecon.utils.placement import commit
 
     print("backend:", jax.default_backend(), flush=True)
-    problem = commit(expand_onehots(bal_sequential_wtt()))
+    # --split: the production split_windows packing (round-5 post-split
+    # anatomy ask).  Fully-indexed configs never read the dense one-hot,
+    # so the split problem stays deferred (no expand pass, no 1 GB HBM).
+    split = "--split" in sys.argv
+    if split:
+        problem = commit(bal_sequential_wtt(split_windows=True))
+    else:
+        problem = commit(expand_onehots(bal_sequential_wtt()))
+    print("split_windows:", split, "buckets:",
+          [(b.window, b.uv.shape[0]) for b in problem.buckets], flush=True)
     jax.device_get(problem.buckets[0].uv[0, 0, 0, 0])
 
     config = BAConfig(
@@ -84,13 +93,46 @@ def main() -> None:
         with jax.default_matmul_precision("highest"):
             return ba_wtt._cost(p, prob, config)
 
+    # rhs/backsub ride the SAME index-kernel paths the production solver
+    # uses whenever matvec_kernel is set (_ba_solve_wtt_core.w_times /
+    # wt_times): the dense-one-hot XLA helpers don't exist on deferred
+    # (wcam-only) packings at all, and the anatomy should decompose the
+    # program that actually ships.
+    from tpu3drecon.ops.pallas.wtt_matvec import (
+        wtt_w_rows_idx,
+        wtt_wt_planes_idx,
+    )
+
+    def _w_times_idx(bn, vw, bucket, prob):
+        np_cam = bn.jc.shape[0] // 2
+        _, _, tb, pc = bucket.uv.shape
+        rows = wtt_w_rows_idx(
+            vw, bucket.wcam, bn.jc, bn.jp, np_cam, tb, pc,
+            int(bucket.window), terms=3, interpret=False,
+        )
+        return ba_wtt._scatter_rows(
+            jnp.transpose(rows, (0, 2, 1)), ba_wtt._window_idx(bucket),
+            prob.c_pad,
+        )
+
+    def _wt_times_idx(bn, dc, bucket):
+        np_cam = bn.jc.shape[0] // 2
+        _, _, tb, pc = bucket.uv.shape
+        xw_t = jnp.transpose(
+            ba_wtt._window_rows(dc, ba_wtt._window_idx(bucket)), (0, 2, 1)
+        )
+        return wtt_wt_planes_idx(
+            xw_t, bucket.wcam, bn.jc, bn.jp, np_cam, tb, pc,
+            int(bucket.window), terms=3, interpret=False,
+        )
+
     def rhs_phase(eps, nb, prob):
         b = jnp.zeros_like(nb.g_cam)
         for bn, bucket in zip(nb.buckets, prob.buckets):
             vw = ba_wtt._sym3_matvec_g(
                 bn.v_inv, (bn.g_pt + eps * 1e-30)
             )
-            b = b + ba_wtt._w_times_bucket_w(bn, vw, bucket, prob.c_pad)
+            b = b + _w_times_idx(bn, vw, bucket, prob)
         return jnp.sum(b - nb.g_cam)
 
     def backsub_phase(eps, nb, dc, prob):
@@ -98,7 +140,7 @@ def main() -> None:
         dcp = dc + eps * 1e-30
         pred_pt = jnp.zeros(())
         for bn, bucket in zip(nb.buckets, prob.buckets):
-            wtx = ba_wtt._wt_times_bucket_w(bn, dcp, bucket)
+            wtx = _wt_times_idx(bn, dcp, bucket)
             dp = ba_wtt._sym3_matvec_g(bn.v_inv, -bn.g_pt - wtx)
             pred_pt = pred_pt + 0.5 * (
                 jnp.sum(dp * (bn.damp_pt * dp)) - jnp.sum(dp * bn.g_pt)
@@ -137,14 +179,14 @@ def main() -> None:
             b = jnp.zeros_like(nb.g_cam)
             for bn, bucket in zip(nb.buckets, prob.buckets):
                 vw = ba_wtt._sym3_matvec_g(bn.v_inv, bn.g_pt)
-                b = b + ba_wtt._w_times_bucket_w(bn, vw, bucket, prob.c_pad)
+                b = b + _w_times_idx(bn, vw, bucket, prob)
             b = b - nb.g_cam
             dc, _ = ba_wtt._pcg(
                 nb, b, prob, 8, 0.0, use_kernel="index", interpret=False
             )
             dps = []
             for bn, bucket in zip(nb.buckets, prob.buckets):
-                wtx = ba_wtt._wt_times_bucket_w(bn, dc, bucket)
+                wtx = _wt_times_idx(bn, dc, bucket)
                 dps.append(ba_wtt._sym3_matvec_g(bn.v_inv, -bn.g_pt - wtx))
             from tpu3drecon.ops.jacobians import apply_se3_retraction
 

@@ -393,15 +393,18 @@ def _lin_fused_kernel(
     scal_ref,  # (1, 2) SMEM: [lam, inv_w]
     wcam_ref,  # (1, tb, NB) int32 window-relative camera index (-1 = pad)
     tw_ref,  # (1, D, W) transposed camera-table window rows
-    pts_ref,  # (3, 1, NB) point coordinates
+    pts_ref,  # (1, 3, NB) point coordinates (G-major: Mosaic requires the
+    #           last two block dims divisible by (8, 128) or full — a
+    #           (3, 1, NB) plane-major block puts a 1 in the sublane dim
+    #           and fails lowering on real TPU)
     uv_ref,  # (1, 2, tb, NB) observations
     mask_ref,  # (1, tb, NB)
     rows_ref,  # (1, W, K) contribution rows, accumulated over j
     jc_ref,  # (2*np, 1, tb, NB) camera-Jacobian planes (out)
     jp_ref,  # (6, 1, tb, NB) point-Jacobian planes (out)
-    vinv_ref,  # (6, 1, NB) damped point-normal inverse (out)
-    gpt_ref,  # (3, 1, NB) point gradient (out)
-    damp_ref,  # (3, 1, NB) point damping diagonal (out)
+    vinv_ref,  # (1, 6, NB) damped point-normal inverse (out, G-major)
+    gpt_ref,  # (1, 3, NB) point gradient (out, G-major)
+    damp_ref,  # (1, 3, NB) point damping diagonal (out, G-major)
     *,
     blocks_config,
     np_cam: int,
@@ -454,7 +457,7 @@ def _lin_fused_kernel(
 
     # --- residual/Jacobian planes (identical formulas to the XLA path).
     blocks = _tt_blocks(
-        cp, pts_ref[:, 0, :], uv_ref[0], mask_ref[0], inv_w, blocks_config
+        cp, pts_ref[0], uv_ref[0], mask_ref[0], inv_w, blocks_config
     )
     jc, jp, r = blocks.jc, blocks.jp, blocks.r  # (k, tb, NB)
     jc_ref[:, 0] = jc
@@ -481,9 +484,9 @@ def _lin_fused_kernel(
         [v6[0] + damp[0], v6[1], v6[2], v6[3] + damp[1], v6[4], v6[5] + damp[2]]
     )
     v_inv = _sym3_inv_planes(v6_d)  # (6, NB)
-    vinv_ref[:, 0] = v_inv
-    gpt_ref[:, 0] = g_pt
-    damp_ref[:, 0] = damp
+    vinv_ref[0] = v_inv
+    gpt_ref[0] = g_pt
+    damp_ref[0] = damp
 
     # --- contribution rows (same math/order as _contrib_kernel).
     acc = None
@@ -619,13 +622,19 @@ def wtt_linearize_fused_idx(
         tb=tb, window=w, use_sj=use_sj, want_od=want_od, terms=terms,
     )
     scal = jnp.stack([lam.astype(dtype), inv_w.astype(dtype)]).reshape(1, 2)
+    # Rank-3 point-factor operands ride G-MAJOR through the kernel
+    # ((G, planes, NB) blocks): Mosaic requires the last two block dims
+    # divisible by (8, 128) or equal to the array's — plane-major
+    # (planes, 1, NB) blocks put a 1 in the sublane dim and fail lowering
+    # on real TPU (interpret mode never checks).  The transposes are
+    # ~50 MB of HBM traffic at BAL scale, noise next to the jc/jp planes.
     out_shapes = (
         jax.ShapeDtypeStruct((g, w, k), dtype),  # rows
         jax.ShapeDtypeStruct((2 * np_cam, g, tb, pc), dtype),  # jc
         jax.ShapeDtypeStruct((6, g, tb, pc), dtype),  # jp
-        jax.ShapeDtypeStruct((6, g, pc), dtype),  # v_inv
-        jax.ShapeDtypeStruct((3, g, pc), dtype),  # g_pt
-        jax.ShapeDtypeStruct((3, g, pc), dtype),  # damp_pt
+        jax.ShapeDtypeStruct((g, 6, pc), dtype),  # v_inv (G-major)
+        jax.ShapeDtypeStruct((g, 3, pc), dtype),  # g_pt (G-major)
+        jax.ShapeDtypeStruct((g, 3, pc), dtype),  # damp_pt (G-major)
     )
     out_specs = (
         pl.BlockSpec((1, w, k), lambda gg, j: (gg, 0, 0),
@@ -634,14 +643,14 @@ def wtt_linearize_fused_idx(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((6, 1, tb, nb), lambda gg, j: (0, gg, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((6, 1, nb), lambda gg, j: (0, gg, j),
+        pl.BlockSpec((1, 6, nb), lambda gg, j: (gg, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+        pl.BlockSpec((1, 3, nb), lambda gg, j: (gg, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+        pl.BlockSpec((1, 3, nb), lambda gg, j: (gg, 0, j),
                      memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    rows, jc, jp, v_inv_g, g_pt_g, damp_g = pl.pallas_call(
         kernel,
         grid=(g, jb),
         in_specs=[
@@ -651,7 +660,7 @@ def wtt_linearize_fused_idx(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, w), lambda gg, j: (gg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1, nb), lambda gg, j: (0, gg, j),
+            pl.BlockSpec((1, 3, nb), lambda gg, j: (gg, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, tb, nb), lambda gg, j: (gg, 0, 0, j),
                          memory_space=pltpu.VMEM),
@@ -665,7 +674,15 @@ def wtt_linearize_fused_idx(
         scal,
         wcam.reshape(g, tb, pc).astype(jnp.int32),
         jnp.transpose(tw, (0, 2, 1)),  # (G, D, W)
-        pts,
+        jnp.transpose(pts, (1, 0, 2)),  # (G, 3, Pc)
         uv,
         mask,
+    )
+    return (
+        rows,
+        jc,
+        jp,
+        jnp.transpose(v_inv_g, (1, 0, 2)),  # (6, G, Pc)
+        jnp.transpose(g_pt_g, (1, 0, 2)),  # (3, G, Pc)
+        jnp.transpose(damp_g, (1, 0, 2)),  # (3, G, Pc)
     )
