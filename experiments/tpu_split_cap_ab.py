@@ -46,7 +46,10 @@ def main() -> None:
             solver = make_wtt_ba_solver(base._replace(maxiter=iters))
             t0 = time.time()
             _, pts, st = solver(problem)
-            jax.block_until_ready(pts)
+            # block_until_ready does NOT block through the TPU tunnel
+            # (CLAUDE.md trap) — sync via a scalar device_get before
+            # reading the clock for the compile+first figure.
+            jax.device_get(st.loss)
             c = time.time() - t0
             if iters == 3:
                 compile_s = c

@@ -116,11 +116,12 @@ def test_kernel_flag_validation(capsys):
 
     from tpu3drecon.cli import _config
 
-    def mk(engine, precond="auto", matvec="auto", linearize="auto"):
+    def mk(engine, precond="auto", matvec="auto", linearize="auto",
+           split_windows="auto"):
         return argparse.Namespace(
             engine=engine, precond=precond, matvec=matvec,
-            linearize=linearize, maxiter=5, cg_maxiter=8,
-            no_focal=False, loss="trivial",
+            linearize=linearize, split_windows=split_windows, maxiter=5,
+            cg_maxiter=8, no_focal=False, loss="trivial",
         )
 
     with pytest.raises(SystemExit) as exc:
@@ -128,6 +129,14 @@ def test_kernel_flag_validation(capsys):
     assert exc.value.code == 2
     with pytest.raises(SystemExit) as exc:
         _config(mk("tt", linearize="index"), n_cameras=100)
+    assert exc.value.code == 2
+    # --split-windows is a wtt packing concept: reject on other engines
+    # instead of silently ignoring it (round-5 advisor finding).
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("tt", split_windows="on"), n_cameras=100)
+    assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("grid", split_windows="off"), n_cameras=100)
     assert exc.value.code == 2
     # auto on CPU keeps the XLA paths (kernels would run in interpret mode).
     cfg = _config(mk("wtt"), n_cameras=100)

@@ -304,6 +304,88 @@ class TestHubSplit:
             float(st_c.loss), float(st_u.loss), rtol=1e-9, atol=1e-18
         )
 
+    def test_capped_hub_fully_indexed_deferred(self, hub_flat):
+        """The shipped TPU default combination on a hub scene: CAPPED
+        split + matvec/linearize 'index' + DEFERRED (wcam-only) packing.
+        The cap merges local-only chunks into global bins, whose
+        global-tile wcam rows must select exact zeros through the
+        in-VMEM iota-compare one-hot rebuild — pinned here against the
+        unsplit dense-one-hot XLA solve (interpret-mode Pallas, f64)."""
+        base = wtt_from_flat(hub_flat, point_chunk=64, reorder_cameras="hub")
+        capped = wtt_from_flat(
+            hub_flat, point_chunk=64, reorder_cameras="hub",
+            split_windows=2, defer_onehot=True,
+        )
+        assert any(b.global_tiles > 0 for b in capped.buckets)
+        assert all(b.onehot is None for b in capped.buckets)
+        # The cap must actually merge a local-only class into a global
+        # bin somewhere, or this test isn't exercising the zero-row path.
+        config = BAConfig(
+            maxiter=3, gtol=0.0, ftol=0.0, cg_maxiter=8, cg_rtol=1e-10
+        )
+        _, _, st_x = ba_solve_wtt(base, config)
+        _, _, st_k = ba_solve_wtt(
+            capped,
+            config._replace(matvec_kernel="index", linearize_kernel="index"),
+        )
+        assert int(st_k.accepted) == int(st_x.accepted)
+        np.testing.assert_allclose(
+            float(st_k.loss), float(st_x.loss), rtol=1e-8, atol=1e-18
+        )
+
+    def test_global_tile_hulls(self):
+        """Per-class global-tile HULLS (round-5 verdict item 3): when the
+        global region spans several 128-camera tiles, split classes carry
+        only the tile range their chunks actually touch (bucket-level
+        global_tile0/global_tiles vary), instead of every global class
+        paying the whole region.  Needs a scene big enough for a >=2-tile
+        global region (hub planner caps the split at n/8 cameras, so
+        >=1536 cams) with sparse per-point hub touches (~0.4 hubs/point:
+        most hub-touching chunks hug one tile).  Values must match the
+        unsplit hub solve exactly up to f64 summation order."""
+        from tpu3drecon.dataset.synthetic import make_hub_scene, perturb_scene
+
+        scene = make_hub_scene(
+            n_cameras=1536, points_per_camera=40, track_span=3,
+            hub_fraction=0.125, hub_obs=100, seed=41,
+        )
+        noisy = perturb_scene(scene, seed=42, point2d_noise=0.2)
+        flat, _ = scene_to_ba_problem(noisy, observed=scene, dtype=jnp.float64)
+        base = wtt_from_flat(flat, point_chunk=64, reorder_cameras="hub")
+        split = wtt_from_flat(
+            flat, point_chunk=64, reorder_cameras="hub", split_windows=True
+        )
+        base_hulls = {
+            (b.global_tile0, b.global_tiles)
+            for b in base.buckets if b.global_tiles
+        }
+        split_hulls = {
+            (b.global_tile0, b.global_tiles)
+            for b in split.buckets if b.global_tiles
+        }
+        assert len(base_hulls) == 1
+        (full,) = base_hulls
+        assert full[1] >= 2  # the global region really spans >= 2 tiles
+        assert len(split_hulls) >= 2  # per-class hulls actually differ
+        assert any(t < full[1] for _, t in split_hulls)  # some narrowed
+
+        def macs(p):
+            return sum(
+                b.window * b.uv.shape[0] * b.uv.shape[2] * b.uv.shape[3]
+                for b in p.buckets
+            )
+
+        assert macs(split) < 0.7 * macs(base)
+        config = BAConfig(
+            maxiter=2, gtol=0.0, ftol=0.0, cg_maxiter=4, cg_rtol=1e-10
+        )
+        _, _, st_b = ba_solve_wtt(base, config)
+        _, _, st_s = ba_solve_wtt(split, config)
+        assert int(st_s.accepted) == int(st_b.accepted)
+        np.testing.assert_allclose(
+            float(st_s.loss), float(st_b.loss), rtol=1e-9, atol=1e-18
+        )
+
     def test_band_precond_rejected_with_hub_tiles(self, hub_flat):
         wtt = wtt_from_flat(hub_flat, point_chunk=128, reorder_cameras="hub")
         config = BAConfig(maxiter=2, cg_maxiter=4, precond="ssor")

@@ -83,7 +83,10 @@ def bal_sequential_wtt(
     if split_windows:
         from tpu3drecon.problems.wtt import _split_class_cap
 
-        key += f"_splitw_c{_split_class_cap(split_windows)}"
+        # splitw2: per-class global tile HULLS + the exact (prune-free)
+        # capped coalescer (round 5) changed split packings — old
+        # entries would silently serve the full-range layout.
+        key += f"_splitw2_c{_split_class_cap(split_windows)}"
     return cached_problem(key, build, verbose=verbose)
 
 
@@ -142,5 +145,8 @@ def bal_hub_wtt(
     if split_windows:
         from tpu3drecon.problems.wtt import _split_class_cap
 
-        key += f"_splitw_c{_split_class_cap(split_windows)}"
+        # splitw2: per-class global tile HULLS + the exact (prune-free)
+        # capped coalescer (round 5) changed split packings — old
+        # entries would silently serve the full-range layout.
+        key += f"_splitw2_c{_split_class_cap(split_windows)}"
     return cached_problem(key, build, verbose=verbose)

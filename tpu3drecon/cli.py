@@ -157,6 +157,14 @@ def _config(args, n_cameras: int = 0):
             file=sys.stderr,
         )
         raise SystemExit(2)
+    sw = getattr(args, "split_windows", "auto")
+    if sw != "auto" and args.engine != "wtt":
+        print(
+            f"[tpu3drecon] --split-windows {sw} applies to --engine wtt "
+            "only (micro-chunk window classes are a wtt packing concept)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     if linearize == "auto":
         # Measured TPU A/B (RESULTS.md round 4b): the fused contribution
         # kernel is f32-faithful and cuts the BAL linearize 42 -> 18 ms

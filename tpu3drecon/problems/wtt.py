@@ -195,74 +195,128 @@ def _split_class_cap(split_windows) -> int:
     """
     if split_windows is True:
         return _SPLIT_MAX_CLASSES
-    return int(split_windows)
+    cap = int(split_windows)
+    if cap <= 0:
+        raise ValueError(
+            f"split_windows int cap must be > 0 (got {split_windows}); "
+            "use False/0 to disable splitting"
+        )
+    return cap
 
 
 def _coalesce_window_classes(runs_by_class, max_classes, n_gt, c_pad):
     """Merge window classes into at most ``max_classes`` covering bins.
 
-    A class ``(w, gc)`` may ride any bin ``(W, GC)`` with ``W >= w`` and
-    ``GC >= gc``: a wider window with re-clamped 128-aligned bases still
-    covers every chunk's camera span, and a global-tile bin covers
-    non-global chunks with all-zero selection rows — both directions
-    preserve values exactly (padded rows contribute exact zeros).  The
-    bin set is chosen by EXHAUSTIVE enumeration over the O(2 x widths)
-    candidate covering keys (class counts are tiny — the worst observed
-    was 7 per bucket), minimizing total selection-MACs (chunk count x
-    bin window rows); a greedy pair-merge was measured pathological here
-    (its final forced merge put 163 groups on a 1792-row window at cap 2
-    — experiments/wtt_split_cap_stats.py).  Deterministic: candidates
-    and ties resolve through sorted keys.
+    A class ``(w, gr)`` — local width ``w`` plus global-tile range ``gr``
+    (``None`` or an inclusive tile-index hull ``(lo, hi)`` within the
+    global region, round-5 verdict item 3) — may ride any bin ``(W, GR)``
+    with ``W >= w`` and ``GR`` a superset range of ``gr``: a wider window
+    with re-clamped 128-aligned bases still covers every chunk's camera
+    span, and surplus global tiles cover chunks with all-zero selection
+    rows — both directions preserve values exactly (padded rows
+    contribute exact zeros).  The bin set is chosen by EXHAUSTIVE
+    enumeration over the candidate covering keys (widths x observed
+    range hulls — class counts are tiny), minimizing total
+    selection-MACs (chunk count x bin window rows).  Infeasible subsets
+    (some class uncovered) are rejected via the cost check — the widest
+    key is NOT force-included, since {widest-local, narrow-global}
+    covers can beat {widest-local, widest-global} when global classes
+    are light.  When the subset count exceeds ``_ENUM_BUDGET`` (possible
+    for intermediate user int caps), a deterministic greedy-add seeded
+    with the guaranteed cover-all key is used instead.  A greedy
+    pair-MERGE was measured pathological here (its final forced merge
+    put 163 groups on a 1792-row window at cap 2 —
+    experiments/wtt_split_cap_stats.py); greedy ADD never un-covers.
+    Deterministic: candidates and ties resolve through sorted keys
+    (``None`` ranges sort first via the ``(-1, -1)`` sentinel).
     """
     import itertools
+    import math
+
+    def _r(gr):  # sortable form: None -> (-1, -1)
+        return (-1, -1) if gr is None else gr
 
     def rows(key):
-        w, gc = key
-        return w + (n_gt * CAM_TILE if gc else 0)
+        w, gr = key
+        return w + ((gr[1] - gr[0] + 1) * CAM_TILE if gr is not None else 0)
 
     def n_chunks(runs):
         return sum(len(ids) for _, ids in runs)
 
-    keys = sorted(runs_by_class)
+    keys = sorted(runs_by_class, key=lambda k: (k[0], _r(k[1])))
     weights = {k: n_chunks(runs_by_class[k]) for k in keys}
     widths = sorted({w for w, _ in keys})
-    gcs = sorted({gc for _, gc in keys})
-    top = (widths[-1], max(gcs))
+    granges = [gr for _, gr in keys if gr is not None]
+    los = sorted({gr[0] for gr in granges})
+    his = sorted({gr[1] for gr in granges})
+    hulls = [None] + sorted(
+        {(lo, hi) for lo in los for hi in his if lo <= hi}
+    )
+    full = (min(los), max(his)) if granges else None
+    top = (widths[-1], full)
     cands = sorted(
         {
-            (w, gc)
+            (w, gr)
             for w in widths
-            for gc in gcs
-            if any(w >= kw and (gc or not kgc) for kw, kgc in keys)
-        }
+            for gr in hulls
+            if any(
+                w >= kw
+                and (kgr is None
+                     or (gr is not None and gr[0] <= kgr[0] and gr[1] >= kgr[1]))
+                for kw, kgr in keys
+            )
+        },
+        key=lambda k: (k[0], _r(k[1])),
     )
 
     def admissible(bin_key, cls_key):
-        return bin_key[0] >= cls_key[0] and (bin_key[1] or not cls_key[1])
+        if bin_key[0] < cls_key[0]:
+            return False
+        gr_b, gr_c = bin_key[1], cls_key[1]
+        if gr_c is None:
+            return True
+        return gr_b is not None and gr_b[0] <= gr_c[0] and gr_b[1] >= gr_c[1]
 
-    best = None
-    n_bins = min(max_classes, len(cands))
-    for subset in itertools.combinations(cands, n_bins):
-        if top not in subset:
-            continue  # the top key is the only guaranteed cover-all
+    def subset_cost(subset):
         cost = 0
         for k in keys:
             fits = [rows(b) for b in subset if admissible(b, k)]
             if not fits:
-                cost = None
-                break
+                return None
             cost += weights[k] * min(fits)
-        if cost is None:
-            continue
-        cand = (cost, subset)
-        if best is None or cand < best:
-            best = cand
-    _, bins = best
+        return cost
+
+    def skey(key):
+        return (key[0], _r(key[1]))
+
+    n_bins = min(max_classes, len(cands))
+    _ENUM_BUDGET = 200_000
+    if math.comb(len(cands), n_bins) <= _ENUM_BUDGET:
+        best = None
+        for subset in itertools.combinations(cands, n_bins):
+            cost = subset_cost(subset)
+            if cost is None:
+                continue
+            cand = (cost, tuple(skey(b) for b in subset), subset)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        bins = best[2]
+    else:
+        chosen = [top]  # the only single-key cover-all
+        while len(chosen) < n_bins:
+            best_add = min(
+                ((subset_cost(chosen + [c]), skey(c), c)
+                 for c in cands if c not in chosen),
+                key=lambda t: t[:2],
+            )
+            chosen.append(best_add[2])
+        bins = tuple(sorted(chosen, key=skey))
 
     merged: dict = {}
     for k in keys:
         bk = min(
-            (b for b in bins if admissible(b, k)), key=lambda b: (rows(b), b)
+            (b for b in bins if admissible(b, k)),
+            key=lambda b: (rows(b), skey(b)),
         )
         clamp = max(c_pad - bk[0], 0)
         merged.setdefault(bk, []).extend(
@@ -497,13 +551,21 @@ def wtt_from_flat(
         porder = None
         if split_windows and n_gt > 0:
             # Cluster hub-observing points so the majority of chunks can
-            # skip the shared global tiles entirely (stable: preserves the
-            # camera-local order inside each half).
+            # skip the shared global tiles entirely, and — within the
+            # hub-observing half — by their global-tile HULL (round-5
+            # verdict item 3: most hub-touching points see ONE hub, so
+            # hull-pure chunks carry one 128-row global tile instead of
+            # the whole global region).  Stable: preserves the
+            # camera-local order inside each hull group.
             real = tm > 0
             loc = np.where(real & (tc < glob_start), tc, np.iinfo(np.int64).max)
             min_local = loc.min(axis=1)
-            has_gp = (real & (tc >= glob_start)).any(axis=1)
-            porder = np.lexsort((min_local, has_gp))
+            gp = np.where(real & (tc >= glob_start), tc - glob_start, -1)
+            has_gp = gp.max(axis=1) >= 0
+            g_hi_p = np.maximum(gp.max(axis=1), 0) // CAM_TILE
+            gp_lo = np.where(gp >= 0, gp, np.iinfo(np.int64).max)
+            g_lo_p = np.minimum(gp_lo.min(axis=1) // CAM_TILE, n_gt - 1)
+            porder = np.lexsort((min_local, g_hi_p, g_lo_p, has_gp))
             ti, tc, tm = ti[porder], tc[porder], tm[porder]
 
         if split_windows:
@@ -524,9 +586,19 @@ def wtt_from_flat(
                     if (rows_b[sl] < 0).all():
                         keys.append(None)
                     else:
-                        keys.append((0, CAM_TILE, False))
+                        keys.append((0, CAM_TILE, None))
                     continue
-                has_gc = bool((cams >= glob_start).any())
+                gcams = cams[cams >= glob_start]
+                if gcams.size:
+                    # Inclusive global-tile hull this chunk touches —
+                    # classes carry per-RANGE global tiles instead of the
+                    # whole global region (round-5 verdict item 3).
+                    grange = (
+                        int(gcams.min() - glob_start) // CAM_TILE,
+                        int(gcams.max() - glob_start) // CAM_TILE,
+                    )
+                else:
+                    grange = None
                 local = cams[cams < glob_start]
                 if local.size:
                     base = (int(local.min()) // CAM_TILE) * CAM_TILE
@@ -536,7 +608,7 @@ def wtt_from_flat(
                     base = min(base, c_pad - wcls)
                 else:
                     base, wcls = 0, 0
-                keys.append((base, wcls, has_gc))
+                keys.append((base, wcls, grange))
 
             # Runs of consecutive equal keys (dropped chunks are
             # transparent), collected per (class, has_global).
@@ -560,8 +632,11 @@ def wtt_from_flat(
                     runs_by_class, max_cls, n_gt, c_pad
                 )
 
-            for (wcls, has_gc) in sorted(runs_by_class):
-                runs = runs_by_class[(wcls, has_gc)]
+            for (wcls, grange) in sorted(
+                runs_by_class,
+                key=lambda k: (k[0], (-1, -1) if k[1] is None else k[1]),
+            ):
+                runs = runs_by_class[(wcls, grange)]
                 cap = _choose_cap(
                     [len(ids) for _, ids in runs],
                     min_groups=max(chunk_multiple, 1),
@@ -572,9 +647,9 @@ def wtt_from_flat(
                         groups.append((base, ids[lo : lo + cap]))
                 while len(groups) % max(chunk_multiple, 1):
                     groups.append((0, []))
-                n_gt_eff = n_gt if has_gc else 0
+                n_gt_eff = (grange[1] - grange[0] + 1) if grange else 0
                 plans.append(
-                    (ti, tc, tm, wcls, groups, cap, n_gt_eff, porder, row_off)
+                    (ti, tc, tm, wcls, groups, cap, grange, porder, row_off)
                 )
                 onehot_bytes += (
                     (wcls + n_gt_eff * CAM_TILE)
@@ -629,7 +704,10 @@ def wtt_from_flat(
         while len(groups) % max(chunk_multiple, 1):
             groups.append((0, []))
 
-        plans.append((ti, tc, tm, window, groups, cap, n_gt, None, row_off))
+        plans.append((
+            ti, tc, tm, window, groups, cap,
+            (0, n_gt - 1) if n_gt else None, None, row_off,
+        ))
         row_off += Pb
         onehot_bytes += (
             (window + n_gt * CAM_TILE)
@@ -651,7 +729,16 @@ def wtt_from_flat(
     pts_chunks = []
     rows_chunks = []
     off = 0
-    for ti, tc, tm, window, groups, cap, n_gt_eff, porder, g_off in plans:
+    for ti, tc, tm, window, groups, cap, grange, porder, g_off in plans:
+        # grange: inclusive global-tile hull (lo, hi) within the global
+        # region this class carries (None = no global rows).  Global
+        # cameras index window rows relative to the hull's base tile, and
+        # the bucket's global_tile0 points the scatter at it — the engine
+        # is tile-index agnostic (_window_idx), so narrower per-class
+        # global rows cost nothing downstream.
+        g_lo = grange[0] if grange else 0
+        n_gt_eff = (grange[1] - grange[0] + 1) if grange else 0
+        g_base = glob_start + g_lo * CAM_TILE
         Pb, Tb = ti.shape
         B = len(groups)
         Pc_eff = cap * Pc
@@ -680,7 +767,7 @@ def wtt_from_flat(
                 # shared tail rows [window, window + n_gt_eff*128).
                 wcam_b[bi, cols] = np.where(
                     tcv < glob_start, tcv - base,
-                    window + (tcv - glob_start),
+                    window + (tcv - g_base),
                 )
                 rows_g = np.arange(gi * Pc, (gi + 1) * Pc)
                 if porder is not None:
@@ -708,7 +795,7 @@ def wtt_from_flat(
                 wcam=wcam,
                 window=total_rows,
                 global_tiles=n_gt_eff,
-                global_tile0=g_tile0,
+                global_tile0=g_tile0 + g_lo,
             )
         )
         sel = sel.reshape(-1)
@@ -722,7 +809,10 @@ def wtt_from_flat(
         offsets.append(off)
         off += sel.size
 
-    windows = [p[3] + p[6] * CAM_TILE for p in plans]
+    windows = [
+        p[3] + ((p[6][1] - p[6][0] + 1) * CAM_TILE if p[6] else 0)
+        for p in plans
+    ]
     return BAWTTProblem(
         cameras=g.cameras,
         points3d=jnp.asarray(np.concatenate(pts_chunks, axis=0))
