@@ -176,11 +176,14 @@ def main() -> None:
         p = (rmats, tvecs + eps * 1e-30, fx_fy, dist, ccs, pts)
         with jax.default_matmul_precision("highest"):
             nb = ba_wtt._linearize(p, lam, prob, config)
-            b = jnp.zeros_like(nb.g_cam)
-            for bn, bucket in zip(nb.buckets, prob.buckets):
-                vw = ba_wtt._sym3_matvec_g(bn.v_inv, bn.g_pt)
-                b = b + _w_times_idx(bn, vw, bucket, prob)
-            b = b - nb.g_cam
+            if nb.b_cam is not None:  # fused rhs columns (production)
+                b = nb.b_cam - nb.g_cam
+            else:
+                b = jnp.zeros_like(nb.g_cam)
+                for bn, bucket in zip(nb.buckets, prob.buckets):
+                    vw = ba_wtt._sym3_matvec_g(bn.v_inv, bn.g_pt)
+                    b = b + _w_times_idx(bn, vw, bucket, prob)
+                b = b - nb.g_cam
             dc, _ = ba_wtt._pcg(
                 nb, b, prob, 8, 0.0, use_kernel="index", interpret=False
             )

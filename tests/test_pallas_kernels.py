@@ -107,3 +107,95 @@ def test_point_normal_matches_grid_engine(grid):
     np.testing.assert_allclose(np.array(vinv)[:P], np.array(nb.v_inv), rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(np.array(g_pt)[:P], np.array(nb.g_pt), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.array(damp)[:P], np.array(nb.damp_pt), rtol=1e-4, atol=1e-9)
+
+
+class TestStackedSplitDots:
+    """splitdot.py (round 5): the index kernels' bf16 split terms ride ONE
+    stacked MXU dot instead of ``terms`` separate passes (measured 1.77x
+    on the coupling kernel).  f32-FAITHFULNESS pins: terms=3 must agree
+    with the exact f64 path to f32 rounding on the coupling operator;
+    terms=1 documents the ~1e-3 single-term ladder (the index1 speed
+    mode's operator noise)."""
+
+    @pytest.fixture(scope="class")
+    def coupling_inputs(self):
+        G, TB, PC, W, NP = 4, 3, 256, 128, 8
+        rng = np.random.default_rng(7)
+        jc = rng.normal(size=(2 * NP, G, TB, PC))
+        jp = rng.normal(size=(6, G, TB, PC))
+        v_inv = rng.normal(size=(6, G, PC))
+        wcam = rng.integers(0, W, size=(G, TB * PC)).astype(np.int32)
+        wcam[rng.random(size=wcam.shape) < 0.1] = -1
+        xw = rng.normal(size=(G, NP, W))
+        return dict(
+            jc=jc, jp=jp, v_inv=v_inv, wcam=wcam, xw=xw,
+            dims=(G, TB, PC, W, NP),
+        )
+
+    def _rows(self, d, dtype, terms):
+        from tpu3drecon.ops.pallas.wtt_matvec import wtt_coupling_rows_idx
+
+        G, TB, PC, W, NP = d["dims"]
+        return np.asarray(wtt_coupling_rows_idx(
+            jnp.asarray(d["xw"], dtype), jnp.asarray(d["wcam"]),
+            jnp.asarray(d["jc"], dtype), jnp.asarray(d["jp"], dtype),
+            jnp.asarray(d["v_inv"], dtype), NP, TB, PC, W,
+            terms=terms, interpret=True,
+        ), dtype=np.float64)
+
+    def test_terms3_is_f32_faithful(self, coupling_inputs):
+        exact = self._rows(coupling_inputs, jnp.float64, 3)
+        t3 = self._rows(coupling_inputs, jnp.float32, 3)
+        scale = np.abs(exact).max()
+        assert np.abs(t3 - exact).max() / scale < 5e-6
+    def test_terms_ladder(self, coupling_inputs):
+        exact = self._rows(coupling_inputs, jnp.float64, 3)
+        t1 = self._rows(coupling_inputs, jnp.float32, 1)
+        scale = np.abs(exact).max()
+        rel1 = np.abs(t1 - exact).max() / scale
+        assert 1e-5 < rel1 < 3e-2  # single bf16 term: coarse but usable
+
+    def test_stacked_helpers_fold_order(self):
+        """stacked_split_lhs/rhs reproduce the sequential per-term form
+        exactly outside Mosaic (pure XLA reassociation-free check)."""
+        from tpu3drecon.ops.pallas.splitdot import (
+            stacked_split_lhs,
+            stacked_split_rhs,
+            split_terms,
+        )
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(8, 64)), jnp.float32)
+        oh = jnp.asarray(
+            (rng.random((64, 96)) < 0.02).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        got = np.asarray(stacked_split_lhs(x, oh, jnp.float32, 3, False))
+        # sequential reference
+        ref = None
+        rem = x
+        for _ in range(3):
+            h = rem.astype(jnp.bfloat16)
+            rem = rem - h.astype(jnp.float32)
+            p = jax.lax.dot_general(
+                h, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ref = p if ref is None else ref + p
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6)
+        data = jnp.asarray(rng.normal(size=(5, 96)), jnp.float32)
+        got_r = np.asarray(stacked_split_rhs(oh, data, jnp.float32, 3))
+        assert got_r.shape == (64, 5)
+        # terms really split: the bf16 concat carries 3 row groups.
+        st = split_terms(data, jnp.float32, 3, axis=0)
+        assert st.shape == (15, 96)
+        # stack=False (the wide-window VMEM fallback, e.g. the hub
+        # global tile at W=1664) is the sequential per-term form —
+        # f32-faithful agreement with the stacked dot.
+        seq_r = np.asarray(stacked_split_rhs(oh, data, jnp.float32, 3, False))
+        np.testing.assert_allclose(got_r, seq_r, rtol=1e-6, atol=1e-6)
+        exact_r = np.asarray(
+            stacked_split_rhs(
+                oh, data.astype(jnp.float64), jnp.float64, 3
+            )
+        )
+        np.testing.assert_allclose(seq_r, exact_r, rtol=1e-5, atol=1e-6)

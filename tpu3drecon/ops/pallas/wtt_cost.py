@@ -52,28 +52,11 @@ def _cost_kernel(
     tw_t = tw_ref[0]  # (D, W)
 
     def split_dot(x, oh_bf):
-        """(D, NB) = x (D, W) f32 . one-hot (W, NB) — exact at terms=3."""
-        dims = (((1,), (0,)), ((), ()))
-        if acc_t == jnp.float64:
-            return jax.lax.dot_general(
-                x, oh_bf.astype(acc_t),
-                dimension_numbers=dims,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        acc = None
-        rem = x
-        for _ in range(terms):
-            h = rem.astype(jnp.bfloat16)
-            rem = rem - h.astype(acc_t)
-            part = jax.lax.dot_general(
-                h, oh_bf,
-                dimension_numbers=dims,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            acc = part if acc is None else acc + part
-        return acc
+        """(D, NB) = x (D, W) f32 . one-hot (W, NB) — exact at terms=3;
+        split terms stacked into one dot (splitdot.py, round 5)."""
+        from tpu3drecon.ops.pallas.splitdot import stacked_split_lhs
+
+        return stacked_split_lhs(x, oh_bf, acc_t, terms, transpose_oh=False)
 
     px = pts_ref[0, 0, :]  # (NB,)
     py = pts_ref[0, 1, :]

@@ -46,59 +46,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reduce_dot(oh_bf, data, acc_t, terms):
+def _reduce_dot(oh_bf, data, acc_t, terms, stack=True):
     """(W, K) += one-hot^T-reduction of (K, nb) data tiles.
 
     ``terms=0``: one HIGHEST-precision dot (6 MXU passes, no VPU split
     chain) — exact like terms=3; which wins depends on whether the kernel
     is MXU- or VPU-bound.  terms>=1: that many bf16 split terms — every
     partial product bf16_term x {0,1} is exact, so terms=3 reconstructs
-    the f32 value exactly while paying DEFAULT-precision MXU passes."""
-    dims = (((1,), (1,)), ((), ()))
-    if acc_t == jnp.float64 or terms == 0:
-        return jax.lax.dot_general(
-            oh_bf.astype(acc_t), data,
-            dimension_numbers=dims,
-            preferred_element_type=acc_t,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    acc = None
-    rem = data
-    for _ in range(terms):
-        h = rem.astype(jnp.bfloat16)
-        rem = rem - h.astype(acc_t)
-        part = jax.lax.dot_general(
-            oh_bf, h,
-            dimension_numbers=dims,
-            preferred_element_type=acc_t,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc = part if acc is None else acc + part
-    return acc
+    the f32 value exactly while paying DEFAULT-precision MXU passes,
+    STACKED into one dot along the K axis when ``stack`` (splitdot.py,
+    round 5; the wrappers disable stacking at wide windows where the
+    (W, terms*K) pre-fold temporaries would blow the 16 MB VMEM stack)."""
+    from tpu3drecon.ops.pallas.splitdot import stacked_split_rhs
+
+    return stacked_split_rhs(oh_bf, data, acc_t, terms, stack)
+
+
+def _reduce_stack_ok(tb, window, k, terms, itemsize):
+    """True when the stacked reduce's per-track-row (W, terms*K) pre-fold
+    outputs fit the VMEM stack across ``tb`` unrolled iterations (Mosaic
+    retains every unrolled iteration's tiles).  Measured: W=512/K=88/
+    Tb=12 compiles stacked (~6.5 MB), W=1664 aborts (~21 MB asked,
+    16 MB scoped limit)."""
+    return tb * window * terms * k * itemsize <= 8_000_000
 
 
 def _select_dot(data, oh_bf, acc_t, terms):
     """(D, nb) selection of (D, W) table rows through a (W, nb) one-hot —
-    exact at terms=3 (f32) / one HIGHEST dot (f64)."""
-    dims = (((1,), (0,)), ((), ()))
-    if acc_t == jnp.float64:
-        return jax.lax.dot_general(
-            data, oh_bf.astype(acc_t), dimension_numbers=dims,
-            preferred_element_type=acc_t,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    acc = None
-    rem = data
-    for _ in range(terms):
-        h = rem.astype(jnp.bfloat16)
-        rem = rem - h.astype(acc_t)
-        part = jax.lax.dot_general(
-            h, oh_bf, dimension_numbers=dims,
-            preferred_element_type=acc_t,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc = part if acc is None else acc + part
-    return acc
+    exact at terms=3 (f32) / one HIGHEST dot (f64); split terms stacked
+    into one dot along D (splitdot.py, round 5)."""
+    from tpu3drecon.ops.pallas.splitdot import stacked_split_lhs
+
+    return stacked_split_lhs(data, oh_bf, acc_t, terms, transpose_oh=False)
 
 
 _SYM_IDX = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
@@ -146,6 +125,7 @@ def _contrib_kernel(
     use_sj: bool,
     want_od: bool,
     terms: int,
+    stack: bool,
 ):
     j = pl.program_id(1)
     acc_t = jc_ref.dtype
@@ -156,7 +136,7 @@ def _contrib_kernel(
     # split chain in _reduce_dot is real VPU work here (unlike the 9-plane
     # matvec operands) — hence the terms=0 HIGHEST option.
     def split_dot(oh_bf, data):
-        return _reduce_dot(oh_bf, data, acc_t, terms)
+        return _reduce_dot(oh_bf, data, acc_t, terms, stack)
 
     acc = None
     acc_od = None
@@ -359,6 +339,7 @@ def wtt_contrib_rows_idx(
     kernel = functools.partial(
         _contrib_kernel, np_cam=np_cam, tb=tb, window=w, use_sj=use_sj,
         want_od=want_od, terms=terms,
+        stack=_reduce_stack_ok(tb, w, k, max(terms, 1), itemsize),
     )
     rows = pl.pallas_call(
         kernel,
@@ -413,6 +394,7 @@ def _lin_fused_kernel(
     use_sj: bool,
     want_od: bool,
     terms: int,
+    stack: bool,
 ):
     """The WHOLE linearization of one (group, point-block) in VMEM.
 
@@ -488,8 +470,18 @@ def _lin_fused_kernel(
     gpt_ref[0] = g_pt
     damp_ref[0] = damp
 
-    # --- contribution rows (same math/order as _contrib_kernel).
+    # --- rhs factor vw = V^-1 g_pt: the (W vw) camera rows ride the same
+    # one-hot reduce pass as np extra columns (round-5: kills the separate
+    # wtt_w_rows_idx rhs pass and its jc/jp HBM re-read).  Association
+    # matches the standalone path exactly: V^-1 g first, then W.
+    vw0 = v_inv[0] * g_pt[0] + v_inv[1] * g_pt[1] + v_inv[2] * g_pt[2]
+    vw1 = v_inv[1] * g_pt[0] + v_inv[3] * g_pt[1] + v_inv[4] * g_pt[2]
+    vw2 = v_inv[2] * g_pt[0] + v_inv[4] * g_pt[1] + v_inv[5] * g_pt[2]
+
+    # --- contribution rows (same math/order as _contrib_kernel, plus the
+    # rhs block at the end: u | g [| coupling] | rhs [| od]).
     acc = None
+    acc_rhs = None
     acc_od = None
     prev_wv = prev_idx = None
     for t in range(tb):
@@ -504,9 +496,22 @@ def _lin_fused_kernel(
             v_inv if use_sj else None,
             np_cam, use_sj,
         )
-        contrib = jnp.concatenate(parts, axis=0)  # (K, NB)
-        part = _reduce_dot(oh, contrib, acc_t, terms)
+        s0r = jp[0, t, :] * vw0 + jp[1, t, :] * vw1 + jp[2, t, :] * vw2
+        s1r = jp[3, t, :] * vw0 + jp[4, t, :] * vw1 + jp[5, t, :] * vw2
+        rhs_z = jc0 * s0r[None] + jc1 * s1r[None]  # (np, NB)
+        exact_inline = terms == 3 or acc_t == jnp.float64
+        if exact_inline:
+            # One reduce pass covers everything at full fidelity.
+            parts = parts + [rhs_z]
+        contrib = jnp.concatenate(parts, axis=0)  # (K', NB)
+        part = _reduce_dot(oh, contrib, acc_t, terms, stack)
         acc = part if acc is None else acc + part
+        if not exact_inline:
+            # FIDELITY TRAP (RESULTS.md round 4b): the rhs defines the LM
+            # step and must stay at the exact 3-term split even when the
+            # contribution reduce runs reduced terms (index2).
+            rp = _reduce_dot(oh, rhs_z, acc_t, 3, stack)
+            acc_rhs = rp if acc_rhs is None else acc_rhs + rp
         if want_od:
             if prev_wv is not None:
                 pair = (
@@ -522,9 +527,11 @@ def _lin_fused_kernel(
                     ],
                     axis=0,
                 )  # (np*np, NB), i-major
-                od_part = _reduce_dot(pair, od, acc_t, terms)
+                od_part = _reduce_dot(pair, od, acc_t, terms, stack)
                 acc_od = od_part if acc_od is None else acc_od + od_part
             prev_wv, prev_idx = wv_l, idx
+    if acc_rhs is not None:
+        acc = jnp.concatenate([acc, acc_rhs], axis=1)
     if want_od:
         if acc_od is None:  # tb == 1: no adjacent pairs
             acc_od = jnp.zeros((window, np_cam * np_cam), acc.dtype)
@@ -564,12 +571,16 @@ def wtt_linearize_fused_idx(
 ):
     """Fully-fused linearization: (rows, jc, jp, v_inv, g_pt, damp_pt).
 
-    rows is (G, W, K) in the wtt_contrib_rows_idx column layout
-    (u | g [| coupling] [| od]); jc (2np, G, Tb, Pc) / jp (6, G, Tb, Pc)
-    feed the CG matvec kernels; v_inv/g_pt/damp_pt are the (·, G, Pc)
-    point factors.  One kernel pass replaces wtt_cam_planes_idx +
-    the XLA _tt_blocks map + the XLA point-normal reductions +
-    wtt_contrib_rows_idx."""
+    rows is (G, W, K) with columns u | g [| coupling] | rhs [| od] —
+    the wtt_contrib_rows_idx layout plus np rhs columns carrying the
+    (W V^-1 g_pt) camera rows (round-5: the rhs product rides the same
+    reduce pass, so the separate wtt_w_rows_idx pass and its jc/jp HBM
+    re-read disappear; the rhs block stays at the exact 3-term split in
+    every terms mode — the measured fidelity trap).  jc (2np, G, Tb, Pc)
+    / jp (6, G, Tb, Pc) feed the CG matvec kernels; v_inv/g_pt/damp_pt
+    are the (·, G, Pc) point factors.  One kernel pass replaces
+    wtt_cam_planes_idx + the XLA _tt_blocks map + the XLA point-normal
+    reductions + wtt_contrib_rows_idx + wtt_w_rows_idx."""
     if want_od and not use_sj:
         raise ValueError("want_od requires use_sj (od reuses the W/WV tiles)")
     g = wcam.shape[0]
@@ -581,6 +592,7 @@ def wtt_linearize_fused_idx(
         n_triu
         + np_cam
         + (n_triu if use_sj else 0)
+        + np_cam  # rhs block
         + (np_cam * np_cam if want_od else 0)
     )
     if not interpret and pc % 128 != 0:
@@ -620,6 +632,7 @@ def wtt_linearize_fused_idx(
     kernel = functools.partial(
         _lin_fused_kernel, blocks_config=blocks_config, np_cam=np_cam,
         tb=tb, window=w, use_sj=use_sj, want_od=want_od, terms=terms,
+        stack=_reduce_stack_ok(tb, w, k, max(terms, 1), itemsize),
     )
     scal = jnp.stack([lam.astype(dtype), inv_w.astype(dtype)]).reshape(1, 2)
     # Rank-3 point-factor operands ride G-MAJOR through the kernel

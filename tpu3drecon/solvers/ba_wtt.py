@@ -247,6 +247,10 @@ class WTTNormal(NamedTuple):
     damp_cam: jax.Array  # (c_pad, np)
     buckets: Tuple[WTTBucketNormal, ...]
     tridiag: object = None  # TridiagFactor when config.precond == "tridiag"
+    # (c_pad, np) Schur rhs product (W V^-1 g_pt), psum'd — emitted by the
+    # fused linearize kernel's rhs columns (round-5); None on XLA paths,
+    # where propose computes it with a separate w_times pass.
+    b_cam: object = None
 
 
 def _wt_times_bucket_w(bn: WTTBucketNormal, x_pad: jax.Array, bucket: WTTBucket):
@@ -362,6 +366,8 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     g_cols = jnp.zeros((c_pad, np_cam), dtype)
     coup_cols = jnp.zeros((c_pad, n_triu), dtype)
     e_cols = jnp.zeros((c_pad, np_cam * np_cam), dtype)
+    b_cols = jnp.zeros((c_pad, np_cam), dtype)
+    fused_rhs = config.linearize_kernel in ("index", "index2")
     bucket_normals = []
     blocks_config = BAConfig(
         loss=config.loss,
@@ -402,12 +408,14 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
             reduced = _scatter_rows(rows, widx, c_pad)
             u_cols = u_cols + reduced[:, :n_triu]
             g_cols = g_cols + reduced[:, n_triu : n_triu + np_cam]
+            off = n_triu + np_cam + (n_triu if use_sj else 0)
             if use_sj:
-                coup_cols = coup_cols + reduced[
-                    :, n_triu + np_cam : 2 * n_triu + np_cam
-                ]
+                coup_cols = coup_cols + reduced[:, n_triu + np_cam : off]
+            # rhs block (W V^-1 g_pt) — emitted by the kernel after the
+            # coupling columns, before any od pair rows.
+            b_cols = b_cols + reduced[:, off : off + np_cam]
             if want_od:
-                e_cols = e_cols + reduced[:, 2 * n_triu + np_cam :]
+                e_cols = e_cols + reduced[:, off + np_cam :]
             if config.matvec_bf16:
                 jc, jp = jc.astype(jnp.bfloat16), jp.astype(jnp.bfloat16)
             bucket_normals.append(
@@ -537,6 +545,7 @@ def _linearize(params, lam, problem: BAWTTProblem, config: BAConfig,
     return WTTNormal(
         u=u_d, u_chol=u_chol, g_cam=g_cols, damp_cam=damp_cam,
         buckets=tuple(bucket_normals), tridiag=tridiag,
+        b_cam=_psum(b_cols, axis_name) if fused_rhs else None,
     )
 
 
@@ -748,11 +757,17 @@ def _ba_solve_wtt_core(problem: BAWTTProblem, pts_list, config: BAConfig,
             pmax(gp_max) if config.optimize_points else 0.0,
         )
 
-        b = jnp.zeros_like(nb.g_cam)
-        for bn, bucket in zip(nb.buckets, problem.buckets):
-            vw = _sym3_matvec_g(bn.v_inv, bn.g_pt)
-            b = b + w_times(bn, vw, bucket, interpret)
-        b = _psum(b, axis_name) - nb.g_cam
+        if nb.b_cam is not None:
+            # The fused linearize kernel already reduced (W V^-1 g_pt)
+            # into its rhs columns (psum'd in _linearize) — no separate
+            # w_times pass, no jc/jp re-read.
+            b = nb.b_cam - nb.g_cam
+        else:
+            b = jnp.zeros_like(nb.g_cam)
+            for bn, bucket in zip(nb.buckets, problem.buckets):
+                vw = _sym3_matvec_g(bn.v_inv, bn.g_pt)
+                b = b + w_times(bn, vw, bucket, interpret)
+            b = _psum(b, axis_name) - nb.g_cam
         dc, cg_iters = _pcg(
             nb, b, problem, config.cg_maxiter, config.cg_rtol, axis_name,
             use_kernel=config.matvec_kernel,
