@@ -138,6 +138,19 @@ def test_kernel_flag_validation(capsys):
     with pytest.raises(SystemExit) as exc:
         _config(mk("grid", split_windows="off"), n_cameras=100)
     assert exc.value.code == 2
+    with pytest.raises(SystemExit) as exc:
+        _config(mk("tt", split_windows=6), n_cameras=100)
+    assert exc.value.code == 2
+    # --split-windows parses auto/on/off plus an explicit positive int
+    # class cap (the cap-6 point of the measured hub ladder,
+    # experiments/tpu_hub_cap_ladder.py); junk is a clean argparse error.
+    from tpu3drecon.cli import _split_windows_arg
+
+    assert _split_windows_arg("auto") == "auto"
+    assert _split_windows_arg("6") == 6
+    for bad in ("0", "-3", "always"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _split_windows_arg(bad)
     # auto on CPU keeps the XLA paths (kernels would run in interpret mode).
     cfg = _config(mk("wtt"), n_cameras=100)
     assert cfg.matvec_kernel is False and cfg.linearize_kernel is False

@@ -17,6 +17,22 @@ import sys
 import time
 
 
+def _split_windows_arg(value: str):
+    """``--split-windows`` value: auto/on/off or a positive int class cap."""
+    if value in ("auto", "on", "off"):
+        return value
+    try:
+        cap = int(value)
+    except ValueError:
+        cap = 0
+    if cap <= 0:
+        raise argparse.ArgumentTypeError(
+            f"expected auto, on, off, or a positive integer class cap "
+            f"(got {value!r})"
+        )
+    return cap
+
+
 def _add_common(p):
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--f64", action="store_true", help="solve in float64")
@@ -65,7 +81,8 @@ def _add_common(p):
         "included) on TPU, the batched-XLA path elsewhere",
     )
     p.add_argument(
-        "--split-windows", choices=("auto", "on", "off"), default="auto",
+        "--split-windows", type=_split_windows_arg, default="auto",
+        metavar="{auto,on,off,N}",
         help="micro-chunk window classes for the wtt packer "
         "(problems/wtt.py split_windows): narrower per-chunk windows cut "
         "the dominant one-hot selection passes (measured BAL marginals "
@@ -73,7 +90,12 @@ def _add_common(p):
         "RESULTS.md round 4c) at the cost of more kernel variants to "
         "compile.  auto = on exactly when the solve runs the Pallas "
         "index kernels on TPU; the XLA einsum paths prefer few large "
-        "batches, so off elsewhere",
+        "batches, so off elsewhere.  An integer N > 0 sets the "
+        "per-bucket window-class cap directly ('on' = 4): larger caps "
+        "trade compile time for selection MACs — measured hub-BAL "
+        "ladder 43.7 (cap 4, 48 s compile) -> 42.7 ms/LM-iter (cap 6, "
+        "79 s) with <=5%% MAC headroom left at cap 12 "
+        "(experiments/tpu_hub_cap_ladder.py)",
     )
     p.add_argument(
         "--checkpoint-dir", default=None,
@@ -215,6 +237,8 @@ def _solve(problem, args, jax):
             # wash-to-loss for the XLA einsum paths, which want few large
             # batches — so split exactly when both kernels run.
             split = bool(config.matvec_kernel and config.linearize_kernel)
+        elif isinstance(sw, int):
+            split = sw  # explicit per-bucket window-class cap
         else:
             split = sw == "on"
         # Fully-indexed configs never read the dense one-hot: defer it so
